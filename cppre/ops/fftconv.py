@@ -1,0 +1,201 @@
+"""rFFT-based convolution / deconvolution on TPU.
+
+JAX/TPU-native replacement for the reference's vendored & modified
+`fft-conv-pytorch` (`/root/reference/Utils/fft_conv_pytorch/fft_conv.py`).
+Behavioural contract reproduced bit-for-bit:
+
+* the kernel FFT is conjugated (`fft_conv.py:110` `kernel_fr.imag *= -1`), so
+  the "convolution" actually computes *cross-correlation*, matching direct
+  `F.convNd` / `lax.conv_general_dilated` semantics;
+* the signal's last dim is padded to even length before the one-sided rFFT
+  (`fft_conv.py:96-97`), and output crops use the *pre-even-pad* size
+  (`fft_conv.py:119-124`);
+* `inverse=True` replaces the kernel spectrum with `1/(K + eps)`
+  (`fft_conv.py:111-113`), giving the deconvolution used for inverse residual
+  bounds (`ConvOps_*.integrate`).
+
+All functions are pure and jit/vmap/grad-compatible. Spatial FFTs run in
+float32; on TPU, `jnp.fft` lowers to the XLA FFT which executes on-chip.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["fft_conv", "spectral_differentiate", "spectral_integrate"]
+
+IntOrTuple = Union[int, float, Sequence[Union[int, float]]]
+
+
+def _ntuple(val: IntOrTuple, n: int):
+    if isinstance(val, (tuple, list)):
+        if len(val) != n:
+            raise ValueError(f"Cannot cast tuple of length {len(val)} to length {n}.")
+        return tuple(val)
+    return (val,) * n
+
+
+def _pad_mode(padding_mode: str) -> str:
+    return {
+        "constant": "constant",
+        "reflection": "reflect",
+        "reflect": "reflect",
+        "replication": "edge",
+        "replicate": "edge",
+    }[padding_mode]
+
+
+def _dilate_kernel(kernel: jnp.ndarray, dilation: tuple) -> jnp.ndarray:
+    """Insert dilation-1 zeros between kernel taps (reference fft_conv.py:80-88)."""
+    if all(d == 1 for d in dilation):
+        return kernel
+    k_spatial = kernel.shape[2:]
+    new_shape = kernel.shape[:2] + tuple(
+        (k - 1) * d + 1 for k, d in zip(k_spatial, dilation)
+    )
+    out = jnp.zeros(new_shape, dtype=kernel.dtype)
+    idx = (slice(None), slice(None)) + tuple(slice(None, None, d) for d in dilation)
+    return out.at[idx].set(kernel)
+
+
+def fft_conv(
+    signal: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    padding: IntOrTuple | str = 0,
+    padding_mode: str = "constant",
+    stride: IntOrTuple = 1,
+    dilation: IntOrTuple = 1,
+    inverse: bool = False,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """N-d FFT cross-correlation of `signal` [B, C_in, *spatial] with
+    `kernel` [C_out, C_in, *k_spatial]; `inverse=True` deconvolves instead.
+
+    Matches reference `fft_conv` (fft_conv.py:35-131) for groups == 1.
+    """
+    n = signal.ndim - 2
+    stride_ = _ntuple(stride, n)
+    dilation_ = _ntuple(dilation, n)
+    if isinstance(padding, str):
+        if padding != "same":
+            raise ValueError(f"Padding mode {padding} not supported.")
+        if any(s != 1 for s in stride_) or any(d != 1 for d in dilation_):
+            raise ValueError("stride must be 1 for padding='same'.")
+        padding_ = tuple((k - 1) / 2 for k in kernel.shape[2:])
+    else:
+        padding_ = _ntuple(padding, n)
+
+    kernel = _dilate_kernel(kernel, dilation_)
+
+    # Pad signal (floor on the left side, ceil on the right: fft_conv.py:91).
+    pads = [(0, 0), (0, 0)] + [(math.floor(p), math.ceil(p)) for p in padding_]
+    signal = jnp.pad(signal, pads, mode=_pad_mode(padding_mode))
+    signal_size = signal.shape  # pre-even-pad size drives the output crop
+    if signal.shape[-1] % 2 != 0:
+        signal = jnp.pad(signal, [(0, 0)] * (signal.ndim - 1) + [(0, 1)])
+
+    kernel_pads = [(0, 0), (0, 0)] + [
+        (0, signal.shape[i] - kernel.shape[i]) for i in range(2, signal.ndim)
+    ]
+    padded_kernel = jnp.pad(kernel, kernel_pads)
+
+    axes = tuple(range(2, signal.ndim))
+    signal_fr = jnp.fft.rfftn(signal.astype(jnp.float32), axes=axes)
+    kernel_fr = jnp.fft.rfftn(padded_kernel.astype(jnp.float32), axes=axes)
+
+    kernel_fr = jnp.conj(kernel_fr)  # correlation (matches direct conv)
+    if inverse:
+        kernel_fr = 1.0 / (kernel_fr + eps)
+
+    # C_out contraction: [B, 1, C_in, ...] * [1, C_out, C_in, ...] summed over C_in.
+    c_out = kernel.shape[0]
+    if c_out == 1 and kernel.shape[1] == 1:
+        output_fr = signal_fr * kernel_fr[:, 0]
+    else:
+        output_fr = jnp.sum(
+            signal_fr[:, None] * kernel_fr[None], axis=2
+        )  # [B, C_out, *freq]
+    output = jnp.fft.irfftn(output_fr, axes=axes)
+
+    crop = tuple(
+        [slice(None), slice(None)]
+        + [
+            slice(0, signal_size[i] - kernel.shape[i] + 1, stride_[i - 2])
+            for i in range(2, signal.ndim)
+        ]
+    )
+    output = output[crop]
+
+    if bias is not None:
+        output = output + bias.reshape((1, -1) + (1,) * n)
+    return output
+
+
+def _manual_spectral(
+    field: jnp.ndarray,
+    kernel: jnp.ndarray,
+    correlation: bool,
+    slice_pad: bool,
+    inverse: bool,
+    eps: float,
+    pad: bool,
+) -> jnp.ndarray:
+    """Shared body of ConvOps `differentiate`/`integrate` (ConvOps_2d.py:179-284).
+
+    `field` is [B, C, *spatial]; `kernel` is [*k_spatial] (no channel dims).
+    Unlike `fft_conv`, every spatial dim is zero-padded by k//2 on both sides
+    and there is no even-length rFFT pad (faithful to the reference).
+    `pad=False` reproduces the ConvOps_0d.integrate quirk of discarding the
+    padding (ConvOps_0d.py:200-202).
+    """
+    n = field.ndim - 2
+    p = kernel.shape[-1] // 2
+    if pad:
+        padded = jnp.pad(field, [(0, 0), (0, 0)] + [(p, p)] * n)
+    else:
+        padded = field
+
+    axes = tuple(range(2, field.ndim))
+    field_fft = jnp.fft.rfftn(padded.astype(jnp.float32), axes=axes)
+
+    k = kernel.reshape((1, 1) + kernel.shape)
+    kernel_pads = [(0, 0), (0, 0)] + [
+        (0, padded.shape[i] - k.shape[i]) for i in range(2, padded.ndim)
+    ]
+    padded_kernel = jnp.pad(k, kernel_pads)
+    kernel_fft = jnp.fft.rfftn(padded_kernel.astype(jnp.float32), axes=axes)
+
+    if inverse:
+        kernel_fft = 1.0 / (kernel_fft + eps)
+    if correlation:
+        kernel_fft = jnp.conj(kernel_fft)
+
+    output = jnp.fft.irfftn(field_fft * kernel_fft, axes=axes)
+
+    if slice_pad:
+        crop = tuple(
+            [slice(None), slice(None)]
+            + [
+                slice(0, padded.shape[i] - k.shape[i] + 1)
+                for i in range(2, padded.ndim)
+            ]
+        )
+        output = output[crop]
+    return output
+
+
+def spectral_differentiate(field, kernel, correlation=False, slice_pad=True):
+    """Manual FFT differentiation (reference ConvOps_*.differentiate)."""
+    return _manual_spectral(field, kernel, correlation, slice_pad, inverse=False, eps=0.0, pad=True)
+
+
+def spectral_integrate(field, kernel, correlation=False, slice_pad=False, eps=1e-6, pad=True):
+    """FFT deconvolution: recover u from D(u) (reference ConvOps_*.integrate)."""
+    return _manual_spectral(field, kernel, correlation, slice_pad, inverse=True, eps=eps, pad=pad)

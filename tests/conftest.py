@@ -1,0 +1,14 @@
+"""Test config: run the suite on a virtual 8-device CPU mesh.
+
+Sharding/multi-chip paths are validated on host CPU devices
+(`xla_force_host_platform_device_count`); the driver separately runs the bench
+on real TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -1,0 +1,254 @@
+"""Operator-library correctness: stencils, conv paths, FFT agreement,
+integrate∘differentiate round-trip, dense-matrix cross-check, and 1e-6 parity
+vs the PyTorch semantics (torch runs on CPU as the behavioural oracle).
+
+Asserted versions of the reference's plot-oracle scripts (SURVEY.md §4):
+tolerances 5e-5 mean / 1e-4 max for FFT-vs-direct follow
+`Utils/fft_conv_pytorch/utils.py:29-33`.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cppre.ops import (
+    ConvOperator0d,
+    ConvOperator1d,
+    ConvOperator2d,
+    direct_conv,
+    fft_conv,
+    stencil_1d,
+    stencil_2d,
+    stencil_shift_add,
+    stencil_time_space,
+    embed_kernel_3d,
+)
+from cppre.ops.findiff_matrix import finite_difference_matrix_2d
+
+
+def test_stencil_tables():
+    np.testing.assert_allclose(stencil_1d(1, 2), [-1, 0, 1])
+    np.testing.assert_allclose(stencil_1d(2, 2), [1, -2, 1])
+    np.testing.assert_allclose(stencil_1d(2, 4), [-1 / 12, 4 / 3, -5 / 2, 4 / 3, -1 / 12], rtol=1e-6)
+    np.testing.assert_allclose(stencil_1d(2, 6), [1 / 90, -3 / 20, 3 / 2, -49 / 18, 3 / 2, -3 / 20, 1 / 90], rtol=1e-6)
+    np.testing.assert_allclose(stencil_2d(2, 2), [[0, 1, 0], [1, -4, 1], [0, 1, 0]])
+    # sum of all stencil weights of a derivative is 0 (annihilates constants)
+    for order, taylor in [(1, 2), (1, 4), (2, 2), (2, 4), (2, 6), (3, 2), (3, 4)]:
+        assert abs(stencil_1d(order, taylor).sum()) < 1e-6
+    # first-moment condition: 1st derivative stencil recovers slope
+    s = stencil_1d(1, 4)
+    offsets = np.arange(len(s)) - len(s) // 2
+    np.testing.assert_allclose((s * offsets).sum(), 1.0, rtol=1e-6)
+
+
+def test_kernel_3d_embedding():
+    s = np.arange(9, dtype=np.float32).reshape(3, 3)
+    for axis, plane in [(0, (1, slice(None), slice(None))),
+                        (1, (slice(None), 1, slice(None))),
+                        (2, (slice(None), slice(None), 1))]:
+        k = embed_kernel_3d(s, axis)
+        np.testing.assert_array_equal(k[plane], s)
+        assert k.sum() == s.sum()
+
+
+def test_shift_add_equals_xla_conv():
+    rng = np.random.default_rng(0)
+    for ndim, shape in [(1, (4, 33)), (2, (3, 20, 31)), (3, (2, 10, 12, 14))]:
+        field = jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+        kernel = rng.standard_normal((3,) * ndim).astype(np.float32)
+        fast = stencil_shift_add(field, kernel)
+        # force the XLA conv path by passing a traced kernel
+        slow = jax.jit(lambda f, k: direct_conv(f, k))(field, jnp.asarray(kernel))
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=1e-5)
+
+
+def test_direct_conv_matches_torch():
+    """1e-6 parity with the reference's F.convNd same-pad cross-correlation."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(1)
+    # 1d/2d/3d like ConvOps_0d/1d/2d
+    cases = [
+        ((5, 40), (3,), F.conv1d),
+        ((4, 24, 30), (3, 3), F.conv2d),
+        ((2, 10, 16, 18), (3, 3, 3), F.conv3d),
+    ]
+    for shape, kshape, conv_fn in cases:
+        field = rng.standard_normal(shape).astype(np.float32)
+        kernel = rng.standard_normal(kshape).astype(np.float32)
+        ours = np.asarray(direct_conv(jnp.asarray(field), kernel))
+        t = conv_fn(
+            torch.tensor(field).unsqueeze(1),
+            torch.tensor(kernel)[None, None],
+            padding=tuple(k // 2 for k in kshape),
+        ).squeeze(1).numpy()
+        np.testing.assert_allclose(ours, t, rtol=1e-6, atol=3e-6)
+
+
+def test_fft_conv_matches_direct():
+    """Spectral path agrees with direct at the reference tolerances."""
+    rng = np.random.default_rng(2)
+    for shape, kshape in [((5, 41), (3,)), ((3, 25, 31), (3, 3)), ((2, 11, 13, 15), (3, 3, 3))]:
+        field = jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+        kernel = rng.standard_normal(kshape).astype(np.float32)
+        direct = np.asarray(direct_conv(field, kernel))
+        spec = np.asarray(
+            fft_conv(field[:, None], jnp.asarray(kernel)[None, None],
+                     padding=tuple(k // 2 for k in kshape))[:, 0]
+        )
+        err = np.abs(direct - spec)
+        assert err.mean() < 5e-5, err.mean()
+        assert err.max() < 1e-4, err.max()
+
+
+def test_fft_conv_matches_reference_torch_fftconv():
+    """Bit-level semantics (even-pad, conjugation, crop) vs a torch transcript
+    of the reference fft_conv (independent re-derivation, not imported)."""
+    torch = pytest.importorskip("torch")
+
+    def ref_fft_conv(signal, kernel, padding):
+        import torch.nn.functional as f
+        n = signal.ndim - 2
+        pads = [p for p in padding[::-1] for p in (p, p)]
+        signal = f.pad(signal, pads)
+        signal_size = signal.size()
+        if signal.size(-1) % 2 != 0:
+            signal = f.pad(signal, [0, 1])
+        kernel_padding = [
+            pad
+            for i in reversed(range(2, signal.ndim))
+            for pad in [0, signal.size(i) - kernel.size(i)]
+        ]
+        padded_kernel = f.pad(kernel, kernel_padding)
+        dims = tuple(range(2, signal.ndim))
+        s_fr = torch.fft.rfftn(signal.float(), dim=dims)
+        k_fr = torch.fft.rfftn(padded_kernel.float(), dim=dims)
+        k_fr.imag *= -1
+        out = torch.fft.irfftn(s_fr * k_fr, dim=dims)
+        crop = [slice(None), slice(None)] + [
+            slice(0, signal_size[i] - kernel.size(i) + 1, 1) for i in range(2, signal.ndim)
+        ]
+        return out[crop]
+
+    rng = np.random.default_rng(3)
+    for shape, kshape in [((2, 1, 41), (3,)), ((2, 1, 24, 31), (3, 3)), ((1, 1, 11, 13, 15), (3, 3, 3))]:
+        sig = rng.standard_normal(shape).astype(np.float32)
+        ker = rng.standard_normal(kshape).astype(np.float32)
+        pad = tuple(k // 2 for k in kshape)
+        ours = np.asarray(fft_conv(jnp.asarray(sig), jnp.asarray(ker)[None, None], padding=pad))
+        theirs = ref_fft_conv(torch.tensor(sig), torch.tensor(ker)[None, None], pad).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_composite_kernel_additivity():
+    """Per-term kernels vs additive composite kernel (Tests/test_wave.py:144-176)."""
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.standard_normal((2, 12, 16, 16)), dtype=jnp.float32)
+    c, dt, dx = 0.7, 0.01, 0.03
+    D_tt = ConvOperator2d("t", 2)
+    D_xxyy = ConvOperator2d(("x", "y"), 2)
+    per_term = D_tt(u) - (c * dt / dx) ** 2 * D_xxyy(u)
+    D = ConvOperator2d()
+    D.kernel = D_tt.kernel - (c * dt / dx) ** 2 * D_xxyy.kernel
+    composite = D(u)
+    np.testing.assert_allclose(np.asarray(per_term), np.asarray(composite), atol=1e-5)
+
+
+def test_convop_1d_domains():
+    """ConvOps_1d: 't' differentiates rows (time), 'x' columns (space)."""
+    nt, nx = 32, 48
+    t = np.linspace(0, 2 * np.pi, nt)
+    x = np.linspace(0, 2 * np.pi, nx)
+    u = jnp.asarray(np.sin(t)[:, None] * np.cos(x)[None, :], dtype=jnp.float32)[None]
+    dt, dx = t[1] - t[0], x[1] - x[0]
+    D_t = ConvOperator1d("t", 1)
+    D_x = ConvOperator1d("x", 1)
+    dudt = np.asarray(D_t(u))[0] / (2 * dt)
+    dudx = np.asarray(D_x(u))[0] / (2 * dx)
+    expected_t = np.cos(t)[:, None] * np.cos(x)[None, :]
+    expected_x = -np.sin(t)[:, None] * np.sin(x)[None, :]
+    interior = (slice(2, -2), slice(2, -2))
+    np.testing.assert_allclose(dudt[interior], expected_t[interior], atol=1e-2)
+    np.testing.assert_allclose(dudx[interior], expected_x[interior], atol=1e-2)
+
+
+def test_integrate_differentiate_roundtrip():
+    """integrate inverts the spectral conv (Tests/test_wave.py:298-314).
+
+    Exact inversion requires a kernel with no spectral zeros; pure derivative
+    kernels annihilate constants (zero DC response) so their deconvolution is
+    only a visual-quality inverse in the reference. Both contracts asserted:
+    tight recovery for a zero-free kernel, bounded error for the Laplacian on
+    a compact Gaussian (the reference's example, ConvOps_2d.py:340-346).
+    """
+    nt, nx, ny = 20, 32, 32
+    tt, xx, yy = np.meshgrid(
+        np.linspace(-1, 1, nt), np.linspace(-1, 1, nx), np.linspace(-1, 1, ny), indexing="ij"
+    )
+    u_np = np.exp(-(tt**2 + xx**2 + yy**2) / 0.08).astype(np.float32)
+    u = jnp.asarray(u_np)[None]
+    interior = (slice(4, -4), slice(4, -4), slice(4, -4))
+
+    # identity + 0.2*D_tt: spectrum in [0.2, 1] -> exact inversion
+    ident = embed_kernel_3d(np.float32([[0, 0, 0], [0, 1, 0], [0, 0, 0]]), 2)
+    D = ConvOperator2d()
+    D.kernel = ident + 0.2 * np.asarray(ConvOperator2d("t", 2).kernel)
+    rec = np.asarray(D.integrate(D.spectral_convolution(u), slice_pad=True))[0]
+    assert np.abs(rec[interior] - u_np[interior]).max() < 1e-4
+
+    # Laplacian (zero DC): recovery up to low-mode leakage, like the reference
+    D2 = ConvOperator2d(("x", "y"), 2)
+    diff = D2.differentiate(u, correlation=True, slice_pad=True)
+    rec2 = np.asarray(D2.integrate(diff, correlation=False, slice_pad=True))[0]
+    assert np.abs(rec2[interior] - u_np[interior]).max() < 0.3
+
+
+def test_conv_matches_dense_matrix():
+    """Conv-FD vs dense FD-matrix multiply (Tests/test_wave.py:212-296)."""
+    rng = np.random.default_rng(6)
+    nx, ny = 12, 14
+    field = rng.standard_normal((nx, ny)).astype(np.float32)
+    stencil = stencil_2d(2, 2)
+    mat = finite_difference_matrix_2d(nx, ny, stencil)
+    via_matrix = (mat @ field.reshape(-1)).reshape(nx, ny)
+    via_conv = np.asarray(stencil_shift_add(jnp.asarray(field)[None], stencil))[0]
+    np.testing.assert_allclose(via_conv, via_matrix, rtol=1e-4, atol=1e-5)
+
+
+def test_convop_0d_integrate_quirk():
+    """ConvOps_0d.integrate drops padding and crops (ConvOps_0d.py:200-232):
+    round-trip recovers the signal up to k//2 cells and edge effects."""
+    t = np.linspace(0, 4 * np.pi, 200)
+    sig = jnp.asarray(np.sin(t), dtype=jnp.float32)[None]
+    D = ConvOperator0d(order=2)
+    diff = D.differentiate(sig, correlation=True, slice_pad=True)
+    rec = D.integrate(diff, correlation=False)
+    rec = np.asarray(rec)[0]
+    ref = np.asarray(sig)[0]
+    # quirk contract: output is k-1 shorter and shifted by one sample
+    # (the reference example compensates by plotting retrieved[1:-1],
+    # ConvOps_0d.py:282-287)
+    assert rec.shape[0] == ref.shape[0] - 2
+    err = np.abs(rec[5:-5] - ref[6:-6])
+    assert err.max() < 0.1, err.max()
+
+
+def test_operators_jittable_and_vmappable():
+    u = jnp.ones((2, 8, 10, 12))
+    D = ConvOperator2d("t", 2)
+
+    @jax.jit
+    def f(op, field):
+        return op(field)
+
+    out = f(D, u)  # operator as a pytree argument (kernel traced)
+    assert out.shape == u.shape
+    out2 = jax.jit(lambda field: D(field))(u)  # closed over (kernel constant)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+    # grad through the kernel (physics-informed path)
+    def loss(op, field):
+        return jnp.sum(op(field) ** 2)
+    g = jax.grad(lambda k: loss(ConvOperator2d.tree_unflatten(("direct",), (k,)), u))(jnp.asarray(D.kernel))
+    assert g.shape == D.kernel.shape
