@@ -1,0 +1,11 @@
+"""Surrogate model zoo (flax): FNO family, UQ variants, SWAG, INR/CAE.
+
+First-class rebuild of the reference surrogates — `Neural_PDE.Models.FNO` as
+specified by the in-repo copy `/root/reference/Other_UQ/Bayesian_Models/
+Base_FNO.py` — in idiomatic flax.linen with TPU-friendly spectral layers
+(split real/imaginary einsums instead of complex math).
+"""
+
+from .fno import FNO1d, FNO2d, SpectralConv1d, SpectralConv2d
+
+__all__ = ["FNO1d", "FNO2d", "SpectralConv1d", "SpectralConv2d"]

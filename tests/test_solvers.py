@@ -1,0 +1,87 @@
+"""Solver tests: stability, conservation, exactness, batch APIs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppre.solvers import (
+    Advection1D,
+    Burgers1D,
+    NavierStokes2D,
+    Wave2D,
+    mhd_solve,
+    mhd_solve_batch,
+)
+
+
+def test_advection_upwind_tracks_exact():
+    """Upwind FD stays bounded, mass-conserving (periodic) and within the
+    expected diffusive error of the exact advected profile."""
+    sim = Advection1D(200, 100, 0.0, 2.0, 0.5)
+    x, t, u, ue = sim.solve(0.7, 100.0, 1.0)
+    assert u.shape == (100, 200)
+    assert np.isfinite(u).all()
+    # periodic upwind conserves the discrete integral exactly
+    np.testing.assert_allclose(u.sum(axis=1), u[0].sum(), rtol=1e-4)
+    # peak location tracks the exact one to within a few cells
+    assert abs(np.argmax(u[-1]) - np.argmax(ue[-1])) <= 4
+    # first-order diffusion: amplitude decays but not below half
+    assert 0.5 < u[-1].max() <= 1.0
+
+
+def test_advection_batch_matches_single():
+    sim = Advection1D(64, 20, 0.0, 2.0, 0.1)
+    params = np.array([[0.7, 100.0], [0.9, 60.0]], dtype=np.float32)
+    batch = np.asarray(sim.solve_batch(params, 1.0))
+    for i, (xc, amp) in enumerate(params):
+        _, _, u, _ = sim.solve(float(xc), float(amp), 1.0)
+        np.testing.assert_allclose(batch[i], u, atol=1e-5)
+
+
+def test_burgers_dissipates_energy():
+    sim = Burgers1D(128, 101, 0.0, 2.0, 0.5, 0.002)
+    u, x, dt = sim.solve(1.0, -0.5, 0.3)
+    assert np.isfinite(u).all()
+    e = (u**2).sum(axis=1)
+    assert e[-1] < e[0]  # viscous decay
+    # zero-mean is preserved (periodic, conservative)
+    np.testing.assert_allclose(u.mean(axis=1), 0.0, atol=1e-4)
+
+
+def test_wave_energy_and_symmetry():
+    sim = Wave2D(32, -1.0, 1.0, 1.0, 1.0)
+    x, y, t, u = sim.solve(20.0, 0.0, 0.0)
+    assert u.shape == (101, 32, 32)
+    assert np.isfinite(u).all()
+    assert np.abs(u).max() < 2.0  # leapfrog stability
+    # centred IC keeps x<->y symmetry through the spectral solve
+    np.testing.assert_allclose(u[-1], u[-1].T, atol=1e-4)
+
+
+def test_ns_incompressible_and_finite():
+    sim = NavierStokes2D(48, 0.0, 0.05, 1e-3, 1e-3, 1.0, store_every=10)
+    u, v, p, w, x, t, err = sim.solve(1.0, 0.8)
+    assert np.isfinite(u).all() and np.isfinite(p).all()
+    assert err < 1e-3  # divergence-free to spectral accuracy
+    assert u.shape[0] == len(t)
+
+
+def test_mhd_divb_and_positivity():
+    rho, u, v, p, bx, by, dt, x, err = mhd_solve(
+        48, 1.0, 0.02, 1.0, 1.0, 1.0, dt=1e-4, store_every=50
+    )
+    assert np.isfinite(rho).all()
+    assert (rho > 0).all()
+    assert err < 1e-5  # constrained transport keeps div B ~ machine eps
+    # total mass conserved (periodic FV)
+    np.testing.assert_allclose(rho.sum(axis=(1, 2)), rho[0].sum(), rtol=1e-4)
+
+
+def test_mhd_batch_shapes():
+    out = mhd_solve_batch(
+        np.array([[1.0, 1.0, 1.0], [0.5, 0.5, 0.8]], dtype=np.float32),
+        32, 1.0, 0.01, dt=1e-4, store_every=50,
+    )
+    rho = np.asarray(out[0])
+    assert rho.shape[0] == 2 and rho.shape[-1] == 32
+    assert np.isfinite(rho).all()

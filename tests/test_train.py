@@ -1,0 +1,89 @@
+"""Training-layer tests: rollout semantics, losses, normalizers, fit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppre.train import (
+    GaussianNormalizer,
+    Identity,
+    LpLoss,
+    MinMaxNormalizer,
+    RangeNormalizer,
+    autoregressive_rollout,
+    fit,
+    validation_AR,
+)
+from cppre.train.losses import lp_loss
+from cppre.train.loops import rollout_loss
+
+
+def test_rollout_matches_python_loop():
+    """lax.scan rollout == the reference's Python re-feed loop
+    (training_utils.py:27-45)."""
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (6, 2))
+
+    def apply_fn(x):  # [B, C, N, T_in=6] -> [B, C, N, 2]
+        return jnp.einsum("bcnt,ts->bcns", x, w)
+
+    x0 = jax.random.normal(key, (3, 1, 8, 6))
+    step, T_out = 2, 8
+    pred = autoregressive_rollout(apply_fn, x0, step, T_out)
+
+    xx, chunks = x0, []
+    for t in range(0, T_out, step):
+        im = apply_fn(xx)
+        chunks.append(im)
+        xx = jnp.concatenate((xx[..., step:], im), axis=-1)
+    expected = jnp.concatenate(chunks, axis=-1)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(expected), atol=1e-5)
+
+
+def test_validation_ar_metrics():
+    apply_fn = lambda x: x[..., -1:]  # persistence model
+    a = jnp.ones((2, 1, 4, 1))
+    u = jnp.ones((2, 1, 4, 5))
+    pred, mse, mae = validation_AR(apply_fn, a, u, 1, 5)
+    assert pred.shape == u.shape
+    assert float(mse) == 0.0 and float(mae) == 0.0
+
+
+def test_lp_loss_values():
+    pred = jnp.asarray([[3.0, 4.0]])
+    tgt = jnp.asarray([[0.0, 4.0]])
+    # rel l2 = ||(3,0)|| / ||(0,4)|| = 3/4
+    assert abs(float(lp_loss(pred, tgt)) - 0.75) < 1e-6
+    loss = LpLoss(size_average=False)
+    two = jnp.concatenate([pred, pred])
+    two_t = jnp.concatenate([tgt, tgt])
+    assert abs(float(loss(two, two_t)) - 1.5) < 1e-6
+
+
+def test_normalizer_roundtrips():
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 3, 5).astype(np.float32)) * 7 - 2
+    for cls in (MinMaxNormalizer, RangeNormalizer, GaussianNormalizer, Identity):
+        nrm = cls(x)
+        np.testing.assert_allclose(
+            np.asarray(nrm.decode(nrm.encode(x))), np.asarray(x), atol=1e-4
+        )
+    nrm = MinMaxNormalizer(x)
+    enc = np.asarray(nrm.encode(x))
+    assert enc.min() >= -1e-5 and enc.max() <= 1 + 1e-5
+
+
+def test_fit_reduces_loss():
+    """Two epochs of AR training on a linear target must reduce the loss."""
+    from cppre.models import FNO1d
+
+    rng = np.random.RandomState(0)
+    u = jnp.asarray(rng.rand(16, 1, 32, 6).astype(np.float32))
+    a, y = u[..., :1], u[..., 1:6]
+    m = FNO1d(T_in=1, step=1, modes1=4, num_vars=1, width_time=8)
+    p0 = m.init(jax.random.PRNGKey(0), a)
+    loss = lambda pr, tg: lp_loss(pr, tg)
+    l0 = float(rollout_loss(m.apply, p0, a, y, 1, 5, loss)[0])
+    p1 = fit(m.apply, p0, a, y, a, y, epochs=5, batch_size=8, step=1, T_out=5,
+             loss_func=loss, lr=5e-3)
+    l1 = float(rollout_loss(m.apply, p1, a, y, 1, 5, loss)[0])
+    assert l1 < l0
