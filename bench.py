@@ -1,0 +1,141 @@
+"""Benchmark: NS physics-residual + joint-CP calibration throughput.
+
+North star (BASELINE.json): PRE fields/sec/chip on 2-D NS [BS, Nt, Nx, Ny]
+plus joint-CP calibration wall-clock, vs the PyTorch CPU reference. The
+timed pipeline is the full calibration block of `Joint/NS_Residuals_CP.py`:
+momentum PRE on calibration-truth and prediction tensors, per-cell
+modulation, sup-norm nonconformity scores, and the split-CP quantile.
+
+The torch baseline reimplements the same math with `F.conv3d` + NumPy
+(reference semantics, including its D_y==D_t kernel quirk is NOT needed
+here — both sides use the same corrected stencils via explicit kernels) so
+the comparison is pipeline-for-pipeline on this machine's CPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# benchmark shape: the reference NS config after slicing —
+# [n_cal=100, (u,v,p), Nt=21, 100, 100] (`Joint/NS_Residuals_CP.py:115-135`)
+N_CAL = 100
+NVAR, NT, NX, NY = 3, 21, 100, 100
+DT, DX, NU = 0.01, 0.01, 0.001
+ALPHA = 0.1
+REPS = 10
+
+
+def _synthetic_fields(seed: int = 0):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 1, NX, dtype=np.float32)
+    t = np.linspace(0, 1, NT, dtype=np.float32)
+    base = (
+        np.sin(2 * np.pi * x)[None, None, None, :, None]
+        * np.cos(2 * np.pi * x)[None, None, None, None, :]
+        * np.exp(-t)[None, None, :, None, None]
+    ).astype(np.float32)
+    fields = np.broadcast_to(base, (N_CAL, NVAR, NT, NX, NY)).copy()
+    fields += 0.05 * rng.standard_normal(fields.shape).astype(np.float32)
+    pred = fields + 0.01 * rng.standard_normal(fields.shape).astype(np.float32)
+    return fields, pred
+
+
+def bench_jax(fields, pred):
+    import jax
+    import jax.numpy as jnp
+
+    from cppre.cp.inductive import calibrate, modulation_func, ncf_metric_joint
+    from cppre.residuals.ns import PRE_NS
+
+    pre = PRE_NS(DT, DX, DX, nu=NU)
+
+    @jax.jit
+    def pipeline(truth, prediction):
+        res_out = pre.residual_momentum(truth)
+        res_pred = pre.residual_momentum(prediction)
+        mod = modulation_func(res_out, res_pred) + 1e-6
+        scores = ncf_metric_joint(res_out, res_pred, mod)
+        return calibrate(scores, N_CAL, ALPHA)
+
+    f = jnp.asarray(fields)
+    p = jnp.asarray(pred)
+    float(pipeline(f, p))  # compile + execute
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        # force a host fetch of the scalar result: on the remote (axon)
+        # backend block_until_ready returns before execution completes, so
+        # fetching is the only reliable sync point.
+        float(pipeline(f, p))
+        times.append(time.perf_counter() - t0)
+    return float(np.mean(times))
+
+
+def bench_torch_cpu(fields, pred):
+    import torch
+    import torch.nn.functional as F
+
+    from cppre.ops.stencils import embed_kernel_3d, stencil_time_space
+
+    k_t = torch.tensor(embed_kernel_3d(stencil_time_space(1, 1), 2))[None, None]
+    k_x = torch.tensor(embed_kernel_3d(stencil_time_space(1, 1), 0))[None, None]
+    k_y = torch.tensor(embed_kernel_3d(stencil_time_space(1, 1), 1))[None, None]
+    k_lap = torch.tensor(embed_kernel_3d(stencil_time_space(2, 2), 0))[None, None]
+
+    def conv(f, k):
+        return F.conv3d(f.unsqueeze(1), k, padding=1).squeeze(1)
+
+    def residual(v):
+        u, vv, p = v[:, 0], v[:, 1], v[:, 2]
+        res_x = (conv(u, k_t) * DX * DX + u * conv(u, k_x) * DT * DX
+                 + vv * conv(u, k_y) * DT * DX - NU * conv(u, k_lap) * DT
+                 + conv(p, k_x) * DT * DX)
+        res_y = (conv(vv, k_t) * DX * DX + u * conv(vv, k_x) * DT * DX
+                 + vv * conv(vv, k_y) * DT * DX - NU * conv(vv, k_lap) * DT
+                 + conv(p, k_y) * DT * DX)
+        return (res_x + res_y)[..., 1:-1, 1:-1, 1:-1]
+
+    def pipeline(truth, prediction):
+        res_out = residual(truth)
+        res_pred = residual(prediction)
+        diff = (res_out - res_pred).numpy()
+        mod = diff.std(axis=0) + 1e-6
+        scores = (np.abs(diff) / mod).max(axis=(1, 2, 3))
+        q = min(np.ceil((N_CAL + 1) * (1 - ALPHA)) / N_CAL, 1.0)
+        return np.quantile(scores, q, method="higher")
+
+    f = torch.tensor(fields)
+    p = torch.tensor(pred)
+    with torch.no_grad():
+        pipeline(f, p)  # warm-up
+        times = []
+        for _ in range(max(REPS // 3, 2)):
+            t0 = time.perf_counter()
+            pipeline(f, p)
+            times.append(time.perf_counter() - t0)
+    return float(np.mean(times))
+
+
+def main():
+    fields, pred = _synthetic_fields()
+    t_jax = bench_jax(fields, pred)
+    t_torch = bench_torch_cpu(fields, pred)
+    # "fields" processed per pipeline call: 2 tensors of N_CAL trajectories
+    fields_per_call = 2 * N_CAL
+    value = fields_per_call / t_jax
+    baseline = fields_per_call / t_torch
+    print(json.dumps({
+        "metric": "ns_pre_joint_cp_fields_per_sec",
+        "value": round(value, 2),
+        "unit": "fields/s/chip",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Shared 2-D experiment engine: normalize -> train FNO -> rollout -> PRE -> CP.
+
+Factors the common skeleton of `Joint/{Wave,NS,MHD}_Residuals_CP.py` (and
+their Marginal twins): MinMax normalisation round-trip (Wave :120-139,
+211-214), AR rollout on the calibration/prediction sets, decode, permute to
+ConvOps layout, residual, marginal or joint conformal calibration with the
+alpha sweep. The reference loads pretrained `.pth` weights; here the driver
+trains in-script (or accepts `params` to skip training) since checkpoints
+are not portable from torch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import FNO2d
+from ..train.loops import fit
+from ..train.losses import lp_loss
+from ..train.normalizers import Identity, MinMaxNormalizer
+from ..train.rollout import validation_AR
+from .pipeline import joint_cp, marginal_cp
+
+__all__ = ["run_2d_cp"]
+
+
+def _to_convops(field):
+    """[BS, Nvar, Nx, Ny, Nt] -> [BS, Nvar, Nt, Nx, Ny] (reference
+    permute(0,1,4,2,3); single-var callers then take [:, 0])."""
+    return jnp.transpose(field, (0, 1, 4, 2, 3))
+
+
+def run_2d_cp(
+    *,
+    data: jnp.ndarray,           # [Nsim, Nvar, Nx, Ny, Nt] full trajectories
+    residual_fn: Callable,        # ([BS, Nvar, Nt, Nx, Ny]) -> residual
+    cfg: dict,
+    mode: str = "joint",
+    params=None,                  # pretrained flax params (skips training)
+    seed: int = 0,
+    eps: float = 0.0,
+    verbose: bool = True,
+):
+    T_in, T_out, step = cfg["T_in"], cfg["T_out"], cfg["Step"]
+    n_train, n_cal = cfg.get("n_train", 0), cfg["n_cal"]
+    n_pred = cfg["n_pred"]
+    data = jnp.asarray(data, jnp.float32)
+
+    a_all = data[..., :T_in]
+    u_all = data[..., T_in : T_in + T_out]
+
+    if cfg.get("Normalisation Strategy", "Min-Max") == "Min-Max":
+        in_norm = MinMaxNormalizer(a_all)
+        out_norm = MinMaxNormalizer(u_all)
+    else:
+        in_norm, out_norm = Identity(), Identity()
+
+    a_enc, u_enc = in_norm.encode(a_all), out_norm.encode(u_all)
+
+    model = FNO2d(T_in=T_in, step=step, modes1=cfg["Modes"], modes2=cfg["Modes"],
+                  num_vars=cfg["Variables"], width_time=cfg["Width_time"])
+    t0 = time.perf_counter()
+    if params is None:
+        if n_train <= 0:
+            raise ValueError("params not given and n_train == 0")
+        tr_a, tr_u = a_enc[:n_train], u_enc[:n_train]
+        params = model.init(jax.random.PRNGKey(seed), tr_a[:1])
+        params = fit(model.apply, params, tr_a, tr_u, tr_a[-5:], tr_u[-5:],
+                     epochs=cfg["Epochs"], batch_size=cfg["Batch Size"],
+                     step=step, T_out=T_out, loss_func=lp_loss,
+                     lr=cfg["Learning Rate"],
+                     scheduler_step=cfg["Scheduler Step"],
+                     scheduler_gamma=cfg["Scheduler Gamma"],
+                     seed=seed, verbose=verbose)
+    train_time = time.perf_counter() - t0
+    apply_fn = lambda x: model.apply(params, x)
+
+    # calibration and prediction splits come from the tail of the data
+    cal_sl = slice(n_train, n_train + n_cal)
+    pred_sl = slice(n_train + n_cal, n_train + n_cal + n_pred)
+
+    pred_cal, mse, mae = validation_AR(apply_fn, a_enc[cal_sl], u_enc[cal_sl], step, T_out)
+    if verbose:
+        print(f"Calibration rollout MSE {float(mse):.3e} MAE {float(mae):.3e}")
+    u_out_cal = _to_convops(out_norm.decode(u_enc[cal_sl]))
+    u_pred_cal = _to_convops(out_norm.decode(pred_cal))
+    res_out_cal = residual_fn(u_out_cal)
+    res_pred_cal = residual_fn(u_pred_cal)
+
+    pred_pred, _, _ = validation_AR(apply_fn, a_enc[pred_sl], u_enc[pred_sl], step, T_out)
+    res_pred = residual_fn(_to_convops(out_norm.decode(pred_pred)))
+    res_out_pred = residual_fn(_to_convops(out_norm.decode(u_enc[pred_sl])))
+
+    cp_fn = joint_cp if mode == "joint" else marginal_cp
+    aer = cp_fn(res_out_cal, res_pred_cal, res_pred, res_out_pred, eps=eps) \
+        if mode == "joint" else cp_fn(res_out_cal, res_pred_cal, res_pred, res_out_pred)
+    pre_only = cp_fn(res_out_cal, res_pred_cal, res_pred, mode="pre", eps=eps) \
+        if mode == "joint" else cp_fn(res_out_cal, res_pred_cal, res_pred, mode="pre")
+
+    results = {
+        "config": cfg, "mode": mode, "params": params,
+        "train_time": train_time, "mse": float(mse), "mae": float(mae),
+        "alphas": aer["alphas"],
+        "coverage_aer_pre": aer["coverage"],
+        "coverage_pre": pre_only["coverage"],
+        "qhat": np.asarray(aer["qhat"]),
+        "filter_mask": np.asarray(pre_only["filter_mask"])
+        if pre_only.get("filter_mask") is not None else None,
+        "normalizers": (in_norm, out_norm),
+    }
+    if verbose:
+        for a, c1, c2 in zip(results["alphas"], results["coverage_aer_pre"],
+                             results["coverage_pre"]):
+            print(f"alpha={a:.2f}  cov(AER+PRE)={c1:.3f}  cov(PRE)={c2:.3f}")
+    return results

@@ -1,0 +1,65 @@
+"""2-D ideal MHD CP experiment (BASELINE config #5a).
+
+Reproduces `Joint/MHD_Residuals_CP.py` / `Marginal/MHD_Residuals_CP.py`:
+constrained-transport MHD solutions over 6 fields (rho, u, v, p, Bx, By),
+multivariate FNO surrogate, five selectable residual equations, joint CP
+with the +1e-6 modulation guard (:350).
+
+Run: ``python -m cppre.experiments.mhd [joint|marginal] [equation]``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..residuals.mhd import PRE_MHD
+from ..solvers.mhd2d_constrained import mhd_solve_batch
+from .common import sample_params
+from .base2d import run_2d_cp
+
+CONFIG = {
+    # reference `Joint/MHD_Residuals_CP.py:14-36`
+    "Case": "MHD", "Field": "rho, u, v, p, Bx, By", "Model": "FNO",
+    "Epochs": 500, "Batch Size": 5, "Optimizer": "Adam",
+    "Learning Rate": 0.005, "Scheduler Step": 100, "Scheduler Gamma": 0.5,
+    "Normalisation Strategy": "Min-Max",
+    "T_in": 1, "T_out": 20, "Step": 1, "Width_time": 16, "Modes": 8,
+    "Variables": 6, "Loss Function": "LP",
+    "n_train": 100, "n_cal": 100, "n_pred": 100,
+    # simulation setup (:76-82, 127-140)
+    "N": 128, "boxsize": 1.0, "tEnd": 0.5, "dt": 1e-4, "t_slice": 25,
+    "equation": "induction",  # reference's default switch (:323)
+}
+
+LB = np.asarray([0.5, 0.5, 0.5])  # a, b, c (:206-207)
+UB = np.asarray([1.0, 1.0, 1.0])
+
+
+def gen_data(cfg: dict, n: int, seed: int = 0):
+    """LHS design -> [n, 6, Nx, Ny, Nt] FNO tensor + (dt_eff, dx)."""
+    params = sample_params(LB, UB, n, seed)
+    fields = mhd_solve_batch(params, cfg["N"], cfg["boxsize"], cfg["tEnd"],
+                             dt=cfg["dt"], store_every=cfg["t_slice"])
+    data = np.stack([np.moveaxis(np.asarray(f), 1, -1) for f in fields], axis=1)
+    dt_eff = cfg["dt"] * cfg["t_slice"]
+    dx = cfg["boxsize"] / cfg["N"]
+    return data.astype(np.float32), dt_eff, dx
+
+
+def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
+        params=None, verbose: bool = True):
+    cfg = dict(CONFIG, **(config or {}))
+    n_total = cfg["n_train"] + cfg["n_cal"] + cfg["n_pred"]
+    data, dt_eff, dx = gen_data(cfg, n_total, seed)
+    pre = PRE_MHD(dt_eff, dx, dx)
+    res = lambda fields: pre.residual(fields, equation=cfg["equation"])
+    return run_2d_cp(data=data, residual_fn=res, cfg=cfg, mode=mode,
+                     params=params, seed=seed, eps=1e-6, verbose=verbose)
+
+
+if __name__ == "__main__":
+    import sys
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "joint"
+    eq = {"equation": sys.argv[2]} if len(sys.argv) > 2 else None
+    run(mode, config=eq)

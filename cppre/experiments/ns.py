@@ -1,0 +1,67 @@
+"""2-D Navier-Stokes CP experiment (BASELINE config #4).
+
+Reproduces `Joint/NS_Residuals_CP.py` / `Marginal/NS_Residuals_CP.py`:
+spectral NS solutions (u, v, p, w) downsampled `[::t_slice, ::x_slice,
+::x_slice]`, multivariate FNO surrogate, continuity/momentum PRE, joint and
+marginal CP (marginal adds the periodic-BC residual path).
+
+Run: ``python -m cppre.experiments.ns [joint|marginal]``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..residuals.ns import PRE_NS
+from ..solvers.ns2d_spectral import NavierStokes2D
+from .common import sample_params
+from .base2d import run_2d_cp
+
+CONFIG = {
+    # reference `Joint/NS_Residuals_CP.py:13-36`
+    "Case": "Navier-Stokes", "Field": "u, v, p", "Model": "FNO",
+    "Epochs": 500, "Batch Size": 5, "Optimizer": "Adam",
+    "Learning Rate": 0.005, "Scheduler Step": 100, "Scheduler Gamma": 0.5,
+    "Normalisation Strategy": "Min-Max",
+    "T_in": 1, "T_out": 20, "Step": 1, "Width_time": 16, "Modes": 8,
+    "Variables": 3, "Loss Function": "LP",
+    "n_train": 100, "n_cal": 100, "n_pred": 100,
+    # simulation setup (:77-85, 115-135)
+    "N": 400, "tStart": 0.0, "tEnd": 0.5, "dt": 1e-3, "nu": 1e-3, "L": 1.0,
+    "t_slice": 10, "x_slice": 4,
+    "residual": "momentum",  # or "continuity"
+}
+
+LB = np.asarray([0.5, 0.5])  # aa, bb (:200-201)
+UB = np.asarray([1.0, 1.0])
+
+
+def gen_data(cfg: dict, n: int, seed: int = 0):
+    """LHS design -> [n, 3, Nx, Ny, Nt] FNO tensor (u, v, p) + grid steps."""
+    sim = NavierStokes2D(cfg["N"], cfg["tStart"], cfg["tEnd"], cfg["dt"],
+                         cfg["nu"], cfg["L"], store_every=cfg["t_slice"])
+    params = sample_params(LB, UB, n, seed)
+    u, v, p, w = (np.asarray(f) for f in sim.solve_batch(params))
+    xs = cfg["x_slice"]
+    fields = [f[:, :, ::xs, ::xs] for f in (u, v, p)]
+    data = np.stack([np.moveaxis(f, 1, -1) for f in fields], axis=1)
+    dt_eff = cfg["dt"] * cfg["t_slice"]
+    dx = cfg["L"] / cfg["N"] * xs
+    return data.astype(np.float32), dt_eff, dx
+
+
+def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
+        params=None, verbose: bool = True):
+    cfg = dict(CONFIG, **(config or {}))
+    n_total = cfg["n_train"] + cfg["n_cal"] + cfg["n_pred"]
+    data, dt_eff, dx = gen_data(cfg, n_total, seed)
+    pre = PRE_NS(dt_eff, dx, dx, nu=cfg["nu"])
+    res = getattr(pre, f"residual_{cfg['residual']}")
+    return run_2d_cp(data=data, residual_fn=res, cfg=cfg, mode=mode,
+                     params=params, seed=seed, verbose=verbose)
+
+
+if __name__ == "__main__":
+    import sys
+
+    run(sys.argv[1] if len(sys.argv) > 1 else "joint")

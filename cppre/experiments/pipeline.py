@@ -1,0 +1,157 @@
+"""The shared CP-experiment engine: calibrate -> sweep -> filter.
+
+Reproduces the universal skeleton of the reference experiment scripts
+(`Marginal/Advection_Residuals_CP.py:226-348`, `Joint/Wave_Residuals_CP.py:
+211-312`) as pure functions. TPU-first: the alpha sweep is a single vmap
+over the alpha grid (one fused quantile+coverage program) instead of the
+reference's Python loop re-sorting the scores per alpha.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cp.inductive import (
+    calibrate,
+    cp_quantile_level,
+    emp_cov,
+    emp_cov_joint,
+    filter_sims_joint,
+    filter_sims_within_bounds,
+    modulation_func,
+    ncf_metric_joint,
+)
+
+__all__ = [
+    "marginal_coverage_sweep",
+    "joint_coverage_sweep",
+    "marginal_cp",
+    "joint_cp",
+    "DEFAULT_ALPHAS",
+]
+
+DEFAULT_ALPHAS = np.arange(0.05, 0.95 + 0.1, 0.1)
+
+
+def _qhats_for_alphas(scores, alphas):
+    """All split-CP quantiles in one pass: sort once, gather per alpha."""
+    n = scores.shape[0]
+    qs = jnp.asarray([cp_quantile_level(n, float(a)) for a in np.asarray(alphas)])
+    sorted_scores = jnp.sort(scores, axis=0)
+    # 'higher' interpolation: index ceil(q*(n-1)) of the sorted scores
+    idx = jnp.ceil(qs * (n - 1)).astype(jnp.int32)
+    return sorted_scores[idx]  # [n_alpha, *field] or [n_alpha]
+
+
+@jax.jit
+def _marginal_cov(qhats, center, target):
+    def cov_one(qhat):
+        return jnp.mean((target >= center - qhat) & (target <= center + qhat))
+
+    return jax.vmap(cov_one)(qhats)
+
+
+@jax.jit
+def _joint_cov(qhats, modulation, center, target):
+    axes = tuple(range(1, target.ndim))
+
+    def cov_one(qhat):
+        lo = center - qhat * modulation
+        hi = center + qhat * modulation
+        inside = jnp.all(target >= lo, axis=axes) & jnp.all(target <= hi, axis=axes)
+        return jnp.mean(inside)
+
+    return jax.vmap(cov_one)(qhats)
+
+
+def marginal_coverage_sweep(cal_scores, pred_residual, target_residual=None,
+                            alphas=DEFAULT_ALPHAS):
+    """Per-cell CP sweep. cal_scores [n_cal, *field]; sets are
+    pred_residual -/+ qhat (AER+PRE mode, reference :273-285) or, with
+    pred_residual=0 target=pred (PRE-only mode :310-320), [-qhat, +qhat].
+    Returns (alphas, coverages [n_alpha])."""
+    cal_scores = jnp.asarray(cal_scores)
+    qhats = _qhats_for_alphas(cal_scores, alphas)
+    if target_residual is None:  # PRE-only: does pred_residual fall in ±qhat?
+        center = jnp.zeros((), dtype=qhats.dtype)
+        target = jnp.asarray(pred_residual)
+    else:
+        center = jnp.asarray(pred_residual)
+        target = jnp.asarray(target_residual)
+    cov = _marginal_cov(qhats, center, target)
+    return np.asarray(alphas), np.asarray(cov)
+
+
+def joint_coverage_sweep(cal_scores, modulation, pred_residual,
+                         target_residual=None, alphas=DEFAULT_ALPHAS):
+    """Sup-norm (joint) CP sweep. cal_scores [n_cal] scalar-per-sample;
+    sets are center -/+ qhat * modulation; coverage counts samples entirely
+    inside (`Joint/Wave_Residuals_CP.py:251-263`)."""
+    cal_scores = jnp.asarray(cal_scores)
+    qhats = _qhats_for_alphas(cal_scores, alphas)
+    modulation = jnp.asarray(modulation)
+    if target_residual is None:
+        center = jnp.zeros((), dtype=qhats.dtype)
+        target = jnp.asarray(pred_residual)
+    else:
+        center = jnp.asarray(pred_residual)
+        target = jnp.asarray(target_residual)
+    cov = _joint_cov(qhats, modulation, center, target)
+    return np.asarray(alphas), np.asarray(cov)
+
+
+def marginal_cp(res_out_cal, res_pred_cal, pred_residual, target_residual=None,
+                alphas=DEFAULT_ALPHAS, alpha: float = 0.1, mode: str = "aer+pre"):
+    """Full marginal-CP block: scores, one-alpha sets, sweep, filter mask.
+
+    mode 'aer+pre': scores = |res_out_cal - res_pred_cal| (reference :237);
+    mode 'pre':     scores = |res_pred_cal| (data-free, :310)."""
+    if mode == "aer+pre":
+        scores = jnp.abs(jnp.asarray(res_out_cal) - jnp.asarray(res_pred_cal))
+        sweep = marginal_coverage_sweep(scores, pred_residual, target_residual, alphas)
+    elif mode == "pre":
+        scores = jnp.abs(jnp.asarray(res_pred_cal))
+        sweep = marginal_coverage_sweep(scores, pred_residual, None, alphas)
+    else:
+        raise ValueError(f"unknown mode {mode}")
+    qhat = calibrate(scores, scores.shape[0], alpha)
+    if mode == "pre":
+        sets = (-qhat, qhat)
+        mask = filter_sims_within_bounds(-qhat, qhat, pred_residual, threshold=0.5)
+    else:
+        sets = (jnp.asarray(pred_residual) - qhat, jnp.asarray(pred_residual) + qhat)
+        mask = None
+    return {"scores": scores, "qhat": qhat, "sets": sets,
+            "alphas": sweep[0], "coverage": sweep[1], "filter_mask": mask}
+
+
+def joint_cp(res_out_cal, res_pred_cal, pred_residual, target_residual=None,
+             alphas=DEFAULT_ALPHAS, alpha: float = 0.1, mode: str = "aer+pre",
+             eps: float = 0.0):
+    """Full joint-CP block (`Joint/Wave_Residuals_CP.py:219-312`).
+
+    mode 'aer+pre': modulation over (res_out - res_pred); mode 'pre':
+    modulation over res_pred alone (:279-290). `eps` is the caller-side
+    modulation guard (+1e-6 in MHD, `Joint/MHD_Residuals_CP.py:350`)."""
+    res_pred_cal = jnp.asarray(res_pred_cal)
+    if mode == "aer+pre":
+        mod = modulation_func(res_out_cal, res_pred_cal) + eps
+        scores = ncf_metric_joint(res_out_cal, res_pred_cal, mod)
+        sweep = joint_coverage_sweep(scores, mod, pred_residual, target_residual, alphas)
+        center = jnp.asarray(pred_residual)
+        target = target_residual
+    else:
+        mod = modulation_func(res_pred_cal, None) + eps
+        scores = ncf_metric_joint(res_pred_cal, None, mod)
+        sweep = joint_coverage_sweep(scores, mod, pred_residual, None, alphas)
+        center = jnp.zeros_like(jnp.asarray(pred_residual))
+        target = None
+    qhat = calibrate(scores, scores.shape[0], alpha)
+    sets = (center - qhat * mod, center + qhat * mod)
+    mask = filter_sims_joint(sets, jnp.asarray(pred_residual))
+    return {"scores": scores, "modulation": mod, "qhat": qhat, "sets": sets,
+            "alphas": sweep[0], "coverage": sweep[1], "filter_mask": mask}

@@ -259,21 +259,33 @@ class ConvOperator2d(_ConvOperatorBase):
       'x' -> plane kernel[c, :, :]   (axis 0)
       'y' -> plane kernel[:, c, :]   (axis 1)
       ('x','y') / ('x','y','t') -> axis 0.
+
+    The reference's 'y' kernel is bugged (identical to 't'; see
+    `embed_kernel_3d`); here 'y' genuinely differentiates along y unless
+    ``legacy_y_axis=True``. Invalid (domain, order) combinations leave the
+    kernel unset instead of raising, mirroring the reference's silent
+    try/except constructor (ConvOps_2d.py:98-125) on which call sites rely
+    (e.g. the unused `ConvOperator(('x','y'), 1)` at
+    `Joint/NS_Residuals_CP.py:217`).
     """
 
     _ndim = 3
 
-    def __init__(self, domain=None, order=None, scale=1.0, taylor_order=2, conv="direct", requires_grad=False):
+    def __init__(self, domain=None, order=None, scale=1.0, taylor_order=2, conv="direct",
+                 requires_grad=False, legacy_y_axis=False):
         kernel = None
         if domain is not None:
-            dims = len(domain)
-            stencil = stencil_time_space(min(dims, 2), order, taylor_order)
             axis_map = {"t": 2, "x": 0, "y": 1, ("x", "y"): 0, ("x", "y", "t"): 0}
             if domain not in axis_map:
                 raise ValueError("Invalid Domain. Must be either x,y or t")
             self.axis = axis_map[domain]
-            self.stencil = stencil
-            kernel = scale * embed_kernel_3d(stencil, self.axis)
+            dims = len(domain)
+            try:
+                stencil = stencil_time_space(min(dims, 2), order, taylor_order)
+                self.stencil = stencil
+                kernel = scale * embed_kernel_3d(stencil, self.axis, legacy_y_axis)
+            except ValueError:
+                pass  # bare operator; caller composes .kernel additively
         super().__init__(kernel=kernel, conv=conv)
         self.domain = domain
         self.order = order

@@ -97,16 +97,27 @@ def stencil_time_space(dims: int, deriv_order: int, taylor_order: int = 2) -> np
     raise ValueError(f"Invalid stencil parameters: dims={dims}")
 
 
-def embed_kernel_3d(stencil: np.ndarray, axis: int) -> np.ndarray:
+def embed_kernel_3d(stencil: np.ndarray, axis: int, legacy_y_axis: bool = False) -> np.ndarray:
     """Embed a square 2-D stencil into the central plane of a cubic 3-D kernel.
 
-    Mirrors reference `ConvOps_2d.kernel_3d` (ConvOps_2d.py:67-79): for data
-    laid out [BS, Nt, Nx, Ny] (kernel dims ordered [t, x, y]),
+    For data laid out [BS, Nt, Nx, Ny] (kernel dims ordered [t, x, y]),
       axis 0 ('x' or ('x','y')): stencil spans the (x, y) plane -> kernel[c, :, :]
       axis 1 ('y'):              stencil spans the (t, y) plane -> kernel[:, c, :]
       axis 2 ('t'):              stencil spans the (t, x) plane -> kernel[:, :, c]
     where c = k // 2 is the central slice (the reference hardcodes index 1,
     valid only for k=3; this generalises to any odd k and equals it at k=3).
+
+    **Reference bug, fixed here**: the reference `ConvOps_2d.kernel_3d`
+    (ConvOps_2d.py:67-79) embeds the axis-1 ('y') stencil untransposed, so
+    its variation axis (stencil rows) lands on kernel axis 0 — TIME. The
+    reference's `ConvOperator('y', n)` therefore produces the *identical
+    kernel* to `ConvOperator('t', n)` (verified empirically against the
+    reference with torch: nonzero kernel indices [0,1,1],[2,1,1] for both),
+    silently turning every d/dy in the NS/MHD/JOREK residuals into d/dt.
+    Here the axis-1 stencil is transposed so its variation lands on kernel
+    axis 2 (y), i.e. 'y' really differentiates along y. Pass
+    ``legacy_y_axis=True`` to reproduce the reference's behaviour
+    bit-for-bit (used by the parity benchmarks).
     """
     stencil = np.asarray(stencil, dtype=np.float32)
     k = stencil.shape[0]
@@ -115,7 +126,7 @@ def embed_kernel_3d(stencil: np.ndarray, axis: int) -> np.ndarray:
     if axis == 0:
         kernel[c, :, :] = stencil
     elif axis == 1:
-        kernel[:, c, :] = stencil
+        kernel[:, c, :] = stencil if legacy_y_axis else stencil.T
     elif axis == 2:
         kernel[:, :, c] = stencil
     else:

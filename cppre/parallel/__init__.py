@@ -1,0 +1,34 @@
+"""Multi-chip scale-out: device meshes, sharding rules, halo-exchange stencils.
+
+The reference is strictly single-device (SURVEY.md §5: no NCCL/MPI/
+torch.distributed anywhere); the TPU-native scaling story is XLA collectives
+over ICI driven by `jax.sharding`:
+
+* **dp** — calibration/training batches are embarrassingly parallel; shard
+  the simulation axis over the 'dp' mesh axis and every ConvOps/CP/rollout
+  function runs data-parallel unchanged (they are pure jnp).
+* **tp** — FNO spectral weights contract channels per (var, mode); sharding
+  the output-channel dim over 'tp' turns the einsum into a GSPMD tensor-
+  parallel matmul with an all-reduce XLA inserts automatically.
+* **sp** — for fields too large per chip, `halo.stencil_conv_sharded` runs
+  the stencil with a shard_map halo exchange (collective permute of k//2
+  ghost cells) instead of gathering the field.
+"""
+
+from .sharding import (
+    make_mesh,
+    shard_batch,
+    fno_param_shardings,
+    sharded_calibrate,
+    make_sharded_train_step,
+)
+from .halo import stencil_conv_sharded
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "fno_param_shardings",
+    "sharded_calibrate",
+    "make_sharded_train_step",
+    "stencil_conv_sharded",
+]

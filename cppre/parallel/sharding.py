@@ -1,0 +1,102 @@
+"""Mesh construction and sharding rules (dp x tp) for the CP-PRE stack.
+
+Everything in the library is a pure function over arrays, so scaling out is
+entirely declarative: build a Mesh, annotate the batch axis with 'dp' and
+the FNO channel weights with 'tp', and jit inserts the ICI collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "fno_param_shardings",
+    "sharded_calibrate",
+    "make_sharded_train_step",
+]
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None,
+              tp: int = 1, axis_names: Sequence[str] = ("dp", "tp")) -> Mesh:
+    """Mesh over the first n_devices devices, shape (dp, tp)."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    if dp is None:
+        dp = n_devices // tp
+    assert dp * tp == n_devices, f"dp*tp must equal n_devices ({dp}*{tp} != {n_devices})"
+    mesh_devs = np.asarray(devs[:n_devices]).reshape(dp, tp)
+    return Mesh(mesh_devs, axis_names=axis_names)
+
+
+def shard_batch(x, mesh: Mesh, axis: str = "dp"):
+    """Place an array with its leading (batch) axis sharded over `axis`."""
+    spec = P(axis, *([None] * (jnp.ndim(x) - 1)))
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+
+def fno_param_shardings(params, mesh: Mesh, axis: str = "tp"):
+    """Tensor-parallel layout for FNO params: spectral weights
+    [in, out, var, modes...] and Dense kernels [in, out] shard the OUT
+    channel over `axis`; everything else is replicated. XLA then runs the
+    channel contraction as a sharded matmul (all-gather/reduce on ICI)."""
+
+    size = mesh.shape[axis]
+
+    def spec_for(path, leaf):
+        name = "/".join(str(p.key) if hasattr(p, "key") else str(p) for p in path)
+        if (leaf.ndim >= 2 and leaf.shape[1] % size == 0
+                and ("weights" in name or "Dense" in name or "kernel" in name)):
+            spec = [None] * leaf.ndim
+            spec[1] = axis
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def sharded_calibrate(scores, alpha: float, mesh: Mesh):
+    """Split-CP quantile with the calibration batch sharded over 'dp'.
+
+    The quantile reduces over the (sharded) batch axis; XLA lowers it to a
+    per-shard sort + all-gather of the shard boundaries on ICI."""
+    from ..cp.inductive import calibrate
+
+    scores = shard_batch(scores, mesh)
+    return jax.jit(lambda s: calibrate(s, s.shape[0], alpha))(scores)
+
+
+def make_sharded_train_step(apply_fn, tx, step: int, T_out: int, loss_func,
+                            mesh: Mesh, param_shardings=None):
+    """jit train step with batch dp-sharded inputs and (optionally)
+    tp-sharded params. Identical math to `train.loops.make_train_step`."""
+    import optax
+
+    from ..train.loops import rollout_loss
+
+    batch_sharding = NamedSharding(mesh, P("dp"))
+
+    def train_step(params, opt_state, xx, yy):
+        def loss_of(p):
+            total, pred = rollout_loss(apply_fn, p, xx, yy, step, T_out, loss_func)
+            return total, pred
+
+        (loss, pred), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    in_shardings = (
+        param_shardings,
+        None,
+        batch_sharding,
+        batch_sharding,
+    ) if param_shardings is not None else None
+    return jax.jit(train_step, in_shardings=in_shardings)

@@ -45,11 +45,16 @@ def test_stencil_tables():
 def test_kernel_3d_embedding():
     s = np.arange(9, dtype=np.float32).reshape(3, 3)
     for axis, plane in [(0, (1, slice(None), slice(None))),
-                        (1, (slice(None), 1, slice(None))),
                         (2, (slice(None), slice(None), 1))]:
         k = embed_kernel_3d(s, axis)
         np.testing.assert_array_equal(k[plane], s)
         assert k.sum() == s.sum()
+    # axis 1 ('y'): stencil is transposed so its variation axis lands on
+    # kernel axis 2 (y) — the reference's untransposed embedding is the
+    # D_y == D_t bug (see embed_kernel_3d docstring).
+    k = embed_kernel_3d(s, 1)
+    np.testing.assert_array_equal(k[:, 1, :], s.T)
+    np.testing.assert_array_equal(embed_kernel_3d(s, 1, legacy_y_axis=True)[:, 1, :], s)
 
 
 def test_shift_add_equals_xla_conv():
@@ -252,3 +257,38 @@ def test_operators_jittable_and_vmappable():
         return jnp.sum(op(field) ** 2)
     g = jax.grad(lambda k: loss(ConvOperator2d.tree_unflatten(("direct",), (k,)), u))(jnp.asarray(D.kernel))
     assert g.shape == D.kernel.shape
+
+
+def test_y_domain_differentiates_along_y():
+    """Regression for the reference bug where ConvOperator('y', n) produced
+    the same kernel as ConvOperator('t', n) (ConvOps_2d.py:67-79 embeds the
+    axis-1 stencil untransposed). Here 'y' must really differentiate along
+    the last axis, and legacy mode must reproduce the reference kernel."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cppre.ops.convops import ConvOperator2d
+
+    nt, nx, ny = 8, 8, 10
+    yy = jnp.broadcast_to(jnp.linspace(0.0, 1.0, ny), (1, nt, nx, ny))
+    tt = jnp.broadcast_to(jnp.linspace(0.0, 1.0, nt)[:, None, None], (1, nt, nx, ny))
+
+    D_y = ConvOperator2d("y", 1)
+    dy = 1.0 / (ny - 1)
+    interior = np.asarray(D_y(yy))[0, 2:-2, 2:-2, 2:-2]
+    np.testing.assert_allclose(interior, 2 * dy, rtol=1e-4)
+    # and it must NOT respond to time variation
+    np.testing.assert_allclose(np.asarray(D_y(tt))[0, 2:-2, 2:-2, 2:-2], 0.0, atol=1e-6)
+
+    # legacy mode reproduces the reference's (buggy) t-equal kernel
+    D_y_legacy = ConvOperator2d("y", 1, legacy_y_axis=True)
+    D_t = ConvOperator2d("t", 1)
+    np.testing.assert_array_equal(np.asarray(D_y_legacy.kernel), np.asarray(D_t.kernel))
+
+
+def test_bare_invalid_stencil_leaves_kernel_none():
+    """ConvOperator(('x','y'), 1) has no stencil table entry; the reference
+    silently constructs a kernel-less operator (ConvOps_2d.py:98-125)."""
+    from cppre.ops.convops import ConvOperator2d
+
+    op = ConvOperator2d(("x", "y"), 1)
+    assert op.kernel is None
