@@ -169,17 +169,21 @@ class _Channel1x1(nn.Module):
 
 class _FNOBlock2d(nn.Module):
     """One Fourier block (Base_FNO.py:84-107):
-    gelu(mlp(spectral(x)) + w(x) + b(grid))."""
+    gelu(mlp(spectral(x)) + w(x) + b(grid)). With dropout_rate > 0, dropout
+    follows the spectral-mlp branch (reference Dropout_FNO.py:99-102)."""
 
     modes1: int
     modes2: int
     num_vars: int
     width: int
+    dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, grid):
+    def __call__(self, x, grid, deterministic: bool = True):
         x1 = SpectralConv2d(self.width, self.width, self.num_vars, self.modes1, self.modes2)(x)
         x1 = _ChannelMLP(self.width, self.width)(x1)
+        if self.dropout_rate > 0.0:
+            x1 = nn.Dropout(self.dropout_rate)(x1, deterministic=deterministic)
         x2 = _Channel1x1(self.width)(x)
         x3 = _Channel1x1(self.width)(grid)
         return nn.gelu(x1 + x2 + x3, approximate=False)
@@ -214,6 +218,7 @@ class FNO2d(nn.Module):
     num_vars: int
     width_time: int
     width_vars: int = 0
+    dropout_rate: float = 0.0  # > 0 gives FNO_multi2d_Dropout (Dropout_FNO.py:113-188)
 
     def get_grid(self, shape):
         bs, nv, nx, ny = shape[0], shape[1], shape[2], shape[3]
@@ -224,26 +229,31 @@ class FNO2d(nn.Module):
         return jnp.concatenate((gx, gy), axis=-1)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         grid = self.get_grid(x.shape)
         x = jnp.concatenate((x, grid), axis=-1)
         x = nn.Dense(self.width_time, name="fc0_time")(x)
+        drop = (lambda z: nn.Dropout(self.dropout_rate)(z, deterministic=deterministic)) \
+            if self.dropout_rate > 0.0 else (lambda z: z)
+        x = drop(x)  # after initial projection (Dropout_FNO.py:165)
         x = jnp.transpose(x, (0, 4, 1, 2, 3))  # [B, W, V, Nx, Ny]
         grid_c = jnp.transpose(grid, (0, 4, 1, 2, 3))
 
         block = lambda name: _FNOBlock2d(
-            self.modes1, self.modes2, self.num_vars, self.width_time, name=name
+            self.modes1, self.modes2, self.num_vars, self.width_time,
+            self.dropout_rate, name=name,
         )
-        x0 = block("f0")(x, grid_c)
-        x = block("f1")(x0, grid_c)
-        x = block("f2")(x, grid_c) + x0
-        x1 = block("f3")(x, grid_c)
-        x = block("f4")(x1, grid_c)
-        x = block("f5")(x, grid_c) + x1
+        x0 = block("f0")(x, grid_c, deterministic)
+        x = block("f1")(x0, grid_c, deterministic)
+        x = block("f2")(x, grid_c, deterministic) + x0
+        x1 = block("f3")(x, grid_c, deterministic)
+        x = block("f4")(x1, grid_c, deterministic)
+        x = block("f5")(x, grid_c, deterministic) + x1
 
         x = jnp.transpose(x, (0, 2, 3, 4, 1))  # [B, V, Nx, Ny, W]
         x = nn.Dense(256, name="fc1_time")(x)
         x = nn.gelu(x, approximate=False)
+        x = drop(x)  # between FC layers (Dropout_FNO.py:183)
         return nn.Dense(self.step, name="fc2_time")(x)
 
 

@@ -1,0 +1,127 @@
+"""UQ-method comparison harness: bootstrap resamples, coverage, timing.
+
+Behavioral spec: `/root/reference/Other_UQ/Evaluation/Eval.py:105-424` —
+for each UQ method, over `runs` bootstrap resamples of `n_eval` test sims:
+run the method's validation rollout, build mean +- 2*std sets (or -/+ qhat
+for AER/PRE), record marginal/joint empirical coverage, L2 and wall-clock,
+and report mean +- std per method (:411-424).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cp.inductive import emp_cov, emp_cov_joint
+from . import validation as V
+
+__all__ = ["evaluate_uq_methods"]
+
+
+def _bootstrap_idx(rng, n_total, n_eval):
+    return rng.choice(n_total, size=min(n_eval, n_total), replace=False)
+
+
+def evaluate_uq_methods(
+    *,
+    methods: Sequence[str],
+    model_factory: Callable[[str], tuple],  # uq_name -> (model, params-or-aux)
+    test_a,
+    test_u,
+    step: int,
+    T_out: int,
+    alpha: float = 0.1,
+    samples: int = 10,
+    runs: int = 10,
+    n_eval: int = 300,
+    pre=None,
+    seed: int = 0,
+    verbose: bool = True,
+) -> Dict[str, dict]:
+    """Returns {method: {l2, coverage, joint_coverage, eval_time: (mean, std)}}.
+
+    `model_factory(uq)` returns (model, aux) where aux is params
+    (Deterministic/Dropout/Bayesian/MLE/AER/PRE), a list of params
+    (Ensemble), or a SWAG instance (SWAG).
+    """
+    rng = np.random.default_rng(seed)
+    results = {}
+    test_a = jnp.asarray(test_a)
+    test_u = jnp.asarray(test_u)
+
+    for uq in methods:
+        model, aux = model_factory(uq)
+        l2s, covs, jcovs, times = [], [], [], []
+        for ii in range(runs):
+            idx = _bootstrap_idx(rng, test_a.shape[0], n_eval)
+            a, u = test_a[idx], test_u[idx]
+            key = jax.random.PRNGKey(seed * 1000 + ii)
+            t1 = time.perf_counter()
+            qhat = None
+            if uq == "Deterministic":
+                from ..train.rollout import validation_AR
+
+                mean, mse, mae = validation_AR(
+                    lambda x: model.apply(aux, x), a, u, step, T_out)
+                std = jnp.zeros_like(mean)
+            elif uq == "Dropout":
+                mean, std, mse, mae = V.validation_dropout(
+                    model, aux, a, u, step, T_out, samples, key)
+            elif uq == "Bayesian":
+                mean, std, mse, mae = V.validation_bayesian(
+                    model, aux, a, u, step, T_out, samples, key)
+            elif uq == "Ensemble":
+                mean, std, mse, mae = V.validation_ensemble(
+                    model, aux, a, u, step, T_out)
+            elif uq == "SWAG":
+                mean, std, mse, mae = V.validation_swag(
+                    model, aux, a, u, step, T_out, samples, key)
+            elif uq == "MLE":
+                mean, var, mse, mae = V.validation_mle(model, aux, a, u, step, T_out)
+                std = jnp.sqrt(var)
+            elif uq == "AER":
+                mean, qhat, mse, mae = V.validation_aer(
+                    model, aux, a, u, step, T_out, alpha)
+            elif uq == "PRE":
+                mean, qhat, mse, mae = V.validation_pre(
+                    model, aux, a, u, step, T_out, alpha, pre)
+            else:
+                raise ValueError(f"unknown UQ method {uq}")
+            mean = jax.block_until_ready(mean)
+            np.asarray(mean)  # force host sync on remote backends
+            dt = time.perf_counter() - t1
+
+            if uq == "PRE":
+                res = pre.residual(jnp.transpose(mean, (0, 1, 4, 2, 3)))
+                cov = emp_cov((-qhat, qhat), res)
+                jcov = emp_cov_joint((-qhat, qhat), res)
+            elif uq == "AER":
+                sets = (mean - qhat, mean + qhat)
+                cov = emp_cov(sets, u)
+                jcov = emp_cov_joint(sets, u)
+            else:
+                sets = (mean - 2 * std, mean + 2 * std)
+                cov = emp_cov(sets, u)
+                jcov = emp_cov_joint(sets, u)
+
+            l2s.append(float(mse))
+            covs.append(float(cov))
+            jcovs.append(float(jcov))
+            times.append(dt)
+
+        results[uq] = {
+            "l2": (float(np.mean(l2s)), float(np.std(l2s))),
+            "coverage": (float(np.mean(covs)), float(np.std(covs))),
+            "joint_coverage": (float(np.mean(jcovs)), float(np.std(jcovs))),
+            "eval_time": (float(np.mean(times)), float(np.std(times))),
+        }
+        if verbose:
+            r = results[uq]
+            print(f"{uq:14s} L2 {r['l2'][0]:.3e}±{r['l2'][1]:.1e}  "
+                  f"cov {r['coverage'][0]:.3f}±{r['coverage'][1]:.3f}  "
+                  f"t {r['eval_time'][0]:.2f}s±{r['eval_time'][1]:.2f}")
+    return results

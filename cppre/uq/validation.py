@@ -1,0 +1,142 @@
+"""Per-UQ-method validation rollouts -> (mean, std/qhat, mse, mae).
+
+Behavioral spec: `/root/reference/Other_UQ/Utils/training_utils.py:117-512`.
+Each reference validator loops batch=1 over the test set and a Python loop
+over MC samples; here the rollout is the shared `lax.scan` and the sample
+axis is a `vmap` over rng keys — one compiled program per method, the whole
+test batch at once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..cp.inductive import calibrate
+from ..train.rollout import autoregressive_rollout
+
+__all__ = [
+    "validation_dropout",
+    "validation_ensemble",
+    "validation_bayesian",
+    "validation_swag",
+    "validation_mle",
+    "validation_aer",
+    "validation_pre",
+]
+
+
+def _metrics(pred, test_u):
+    return (
+        jnp.mean((pred - test_u) ** 2),
+        jnp.mean(jnp.abs(pred - test_u)),
+    )
+
+
+def _mc_rollout(sample_apply: Callable, keys, test_a, step, T_out):
+    """vmap an AR rollout over per-sample rng keys -> [S, B, ..., T_out]."""
+
+    def one(key):
+        return autoregressive_rollout(lambda x: sample_apply(key, x), test_a, step, T_out)
+
+    return jax.vmap(one)(keys)
+
+
+def validation_dropout(model, params, test_a, test_u, step, T_out, samples, key):
+    """MC dropout: dropout live at eval (training_utils.py:117-155)."""
+    keys = jax.random.split(key, samples)
+    preds = _mc_rollout(
+        lambda k, x: model.apply(params, x, deterministic=False, rngs={"dropout": k}),
+        keys, test_a, step, T_out,
+    )
+    mean, std = preds.mean(axis=0), preds.std(axis=0)
+    return (mean, std) + _metrics(mean, test_u)
+
+
+def validation_bayesian(model, params, test_a, test_u, step, T_out, samples, key):
+    """VI posterior sampling: fresh 'bayes' rng per sample
+    (training_utils.py:361-399)."""
+    keys = jax.random.split(key, samples)
+    preds = _mc_rollout(
+        lambda k, x: model.apply(params, x, rngs={"bayes": k}),
+        keys, test_a, step, T_out,
+    )
+    mean, std = preds.mean(axis=0), preds.std(axis=0)
+    return (mean, std) + _metrics(mean, test_u)
+
+
+def validation_ensemble(model, params_list: Sequence, test_a, test_u, step, T_out):
+    """Deep ensemble: one rollout per member (training_utils.py:157-199)."""
+    preds = jnp.stack([
+        autoregressive_rollout(lambda x: model.apply(p, x), test_a, step, T_out)
+        for p in params_list
+    ])
+    mean, std = preds.mean(axis=0), preds.std(axis=0)
+    return (mean, std) + _metrics(mean, test_u)
+
+
+def validation_swag(model, swag, test_a, test_u, step, T_out, samples, key,
+                    scale: float = 0.5):
+    """SWAG: sample parameter pytrees, rollout each
+    (training_utils.py:402-442)."""
+    keys = jax.random.split(key, samples)
+    preds = jnp.stack([
+        autoregressive_rollout(
+            lambda x: model.apply(swag.sample(k, scale), x), test_a, step, T_out
+        )
+        for k in keys
+    ])
+    mean, std = preds.mean(axis=0), preds.std(axis=0)
+    return (mean, std) + _metrics(mean, test_u)
+
+
+def validation_mle(model, params, test_a, test_u, step, T_out):
+    """Heteroscedastic MLE: model emits (mean, log-var) pairs on the last
+    axis; the rollout feeds back only the mean (training_utils.py:261-294)."""
+    half = step
+
+    def apply_mean(x):
+        out = model.apply(params, x)  # [..., 2*step]
+        return out
+
+    n = T_out // step
+
+    def body(carry, _):
+        out = apply_mean(carry)
+        mean, log_var = out[..., :half], out[..., half:]
+        carry = jnp.concatenate((carry[..., half:], mean), axis=-1)
+        return carry, (mean, log_var)
+
+    _, (means, log_vars) = jax.lax.scan(body, test_a, None, length=n)
+    means = _stack_chunks(means, half)
+    log_vars = _stack_chunks(log_vars, half)
+    var = jnp.exp(log_vars)
+    return (means, var) + _metrics(means, test_u)
+
+
+def _stack_chunks(chunks, step):
+    """[n, B, ..., step] -> [B, ..., n*step]."""
+    x = jnp.moveaxis(chunks, 0, -2)
+    return x.reshape(x.shape[:-2] + (x.shape[-2] * step,))
+
+
+def validation_aer(model, params, test_a, test_u, step, T_out, alpha):
+    """Absolute-error-residual CP: qhat from |pred - truth|
+    (training_utils.py:445-475)."""
+    pred = autoregressive_rollout(lambda x: model.apply(params, x), test_a, step, T_out)
+    scores = jnp.abs(pred - test_u)
+    qhat = calibrate(scores, pred.shape[0], alpha)
+    return (pred, qhat) + _metrics(pred, test_u)
+
+
+def validation_pre(model, params, test_a, test_u, step, T_out, alpha, pre):
+    """Physics-residual CP: qhat from |PRE(pred)|
+    (training_utils.py:481-512). `pre` is a residual class with
+    `.residual(fields)` over [B, Nvar, Nt, Nx, Ny]."""
+    pred = autoregressive_rollout(lambda x: model.apply(params, x), test_a, step, T_out)
+    fields = jnp.transpose(pred, (0, 1, 4, 2, 3))
+    scores = jnp.abs(pre.residual(fields))
+    qhat = calibrate(scores, pred.shape[0], alpha)
+    return (pred, qhat) + _metrics(pred, test_u)

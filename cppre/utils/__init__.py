@@ -1,0 +1,28 @@
+"""Auxiliary subsystems: checkpointing, configs, run logging, timing, plots.
+
+Rebuilds SURVEY.md §5's inventory: weights+normalizer checkpointing with the
+reference's `<Model>_<Case>_<runname>` naming contract, the YAML/dict config
+system, a pluggable run logger with a no-op default (the reference
+hard-wires the simvue SaaS client), the `Benchmark` timing helper
+(`Utils/fft_conv_pytorch/utils.py:9-33`), and matplotlib plot tools
+(`Utils/plot_tools.py`).
+"""
+
+from .benchmark import Benchmark, benchmark, assert_almost_equal
+from .checkpoint import save_checkpoint, load_checkpoint, save_norms, load_norms
+from .config import load_config, validate_config
+from .runlog import Run, NoOpRun
+
+__all__ = [
+    "Benchmark",
+    "benchmark",
+    "assert_almost_equal",
+    "save_checkpoint",
+    "load_checkpoint",
+    "save_norms",
+    "load_norms",
+    "load_config",
+    "validate_config",
+    "Run",
+    "NoOpRun",
+]

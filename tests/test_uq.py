@@ -1,0 +1,142 @@
+"""UQ baseline tests: model variants, SWAG statistics, validators, harness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cppre.models import FNO2d
+from cppre.models.swag import SWAG
+from cppre.models.variants import (
+    BayesDense,
+    FNO2dBayesian,
+    bayes_kl_loss,
+    make_dropout_fno,
+    make_mle_fno,
+    mc_dropout_apply,
+)
+
+KW = dict(T_in=1, step=1, modes1=4, modes2=4, num_vars=1, width_time=8)
+X = jnp.ones((2, 1, 16, 16, 1))
+
+
+def test_dropout_fno_mc_variance():
+    model = make_dropout_fno(**KW, dropout_rate=0.5)
+    params = model.init({"params": jax.random.PRNGKey(0)}, X)
+    det = model.apply(params, X)  # deterministic by default
+    det2 = model.apply(params, X)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+    mc = mc_dropout_apply(model, params, X, jax.random.PRNGKey(1), samples=4)
+    assert mc.shape == (4,) + det.shape
+    assert float(mc.std(axis=0).mean()) > 0  # dropout live at eval
+
+
+def test_bayesian_fno_sampling_and_kl():
+    model = FNO2dBayesian(**KW)
+    rngs = {"params": jax.random.PRNGKey(0), "bayes": jax.random.PRNGKey(1)}
+    params = model.init(rngs, X)
+    y1 = model.apply(params, X, rngs={"bayes": jax.random.PRNGKey(2)})
+    y2 = model.apply(params, X, rngs={"bayes": jax.random.PRNGKey(3)})
+    assert float(jnp.abs(y1 - y2).mean()) > 0  # stochastic forward
+    kl = bayes_kl_loss(params["params"])
+    # at init, q == prior for the log-sigma part and mu != prior_mu -> kl > 0
+    assert float(kl) >= 0
+
+
+def test_mle_fno_emits_mean_logvar():
+    model = make_mle_fno(**KW)
+    params = model.init(jax.random.PRNGKey(0), X)
+    out = model.apply(params, X)
+    assert out.shape[-1] == 2  # step*2 channels
+
+
+def test_swag_mean_and_sampling():
+    template = {"w": jnp.zeros((3,)), "b": jnp.zeros((2,))}
+    swag = SWAG(template, max_num_models=3)
+    snapshots = [
+        {"w": jnp.asarray([1.0, 2.0, 3.0]), "b": jnp.asarray([0.0, 1.0])},
+        {"w": jnp.asarray([3.0, 2.0, 1.0]), "b": jnp.asarray([2.0, 1.0])},
+    ]
+    for s in snapshots:
+        swag.collect_model(s)
+    # ravel_pytree orders keys alphabetically: b (2) then w (3)
+    np.testing.assert_allclose(swag.theta[:2], [1.0, 1.0])
+    np.testing.assert_allclose(swag.theta[2:], [2.0, 2.0, 2.0])
+    sample = swag.sample(jax.random.PRNGKey(0), scale=0.5)
+    assert sample["w"].shape == (3,) and sample["b"].shape == (2,)
+    # FIFO cap
+    for _ in range(5):
+        swag.collect_model(snapshots[0])
+    assert swag.D.shape[1] == 3
+
+
+def test_validators_shapes():
+    from cppre.uq.validation import (
+        validation_aer,
+        validation_dropout,
+        validation_ensemble,
+        validation_mle,
+        validation_pre,
+    )
+
+    T_out = 4
+    u = jnp.ones((2, 1, 16, 16, T_out))
+    model = make_dropout_fno(**KW, dropout_rate=0.2)
+    params = model.init({"params": jax.random.PRNGKey(0)}, X)
+    mean, std, mse, mae = validation_dropout(
+        model, params, X, u, 1, T_out, samples=3, key=jax.random.PRNGKey(1))
+    assert mean.shape == u.shape and std.shape == u.shape
+
+    base = FNO2d(**KW)
+    p1 = base.init(jax.random.PRNGKey(0), X)
+    p2 = base.init(jax.random.PRNGKey(1), X)
+    mean, std, mse, mae = validation_ensemble(base, [p1, p2], X, u, 1, T_out)
+    assert mean.shape == u.shape
+
+    pred, qhat, mse, mae = validation_aer(base, p1, X, u, 1, T_out, alpha=0.2)
+    assert qhat.shape == u.shape[1:]
+
+    from cppre.residuals.wave import PRE_Wave
+
+    pre = PRE_Wave(0.1, 0.1)
+
+    class _Wrap:
+        def residual(self, fields):
+            return pre(fields[:, 0])
+
+    pred, qhat, mse, mae = validation_pre(base, p1, X, u, 1, T_out, 0.2, _Wrap())
+    assert np.isfinite(np.asarray(qhat)).all()
+
+    mle = make_mle_fno(**KW)
+    pm = mle.init(jax.random.PRNGKey(0), X)
+    mean, var, mse, mae = validation_mle(mle, pm, X, u, 1, T_out)
+    assert mean.shape == u.shape and (np.asarray(var) > 0).all()
+
+
+def test_eval_harness_smoke():
+    from cppre.uq.eval import evaluate_uq_methods
+    from cppre.residuals.wave import PRE_Wave
+
+    base = FNO2d(**KW)
+    p = base.init(jax.random.PRNGKey(0), X)
+    pre_op = PRE_Wave(0.1, 0.1)
+
+    class _Wrap:
+        def residual(self, fields):
+            return pre_op(fields[:, 0])
+
+    a = jnp.ones((4, 1, 16, 16, 1))
+    u = jnp.ones((4, 1, 16, 16, 4))
+
+    def factory(uq):
+        if uq == "Ensemble":
+            return base, [p, p]
+        return base, p
+
+    res = evaluate_uq_methods(
+        methods=["Deterministic", "Ensemble", "AER", "PRE"],
+        model_factory=factory, test_a=a, test_u=u, step=1, T_out=4,
+        runs=2, n_eval=3, samples=2, pre=_Wrap(), verbose=False)
+    assert set(res) == {"Deterministic", "Ensemble", "AER", "PRE"}
+    for r in res.values():
+        assert np.isfinite(r["l2"][0])

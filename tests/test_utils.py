@@ -1,0 +1,77 @@
+"""Utils tests: checkpoint round-trip, norms contract, config, runlog, timing."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppre.utils import (
+    Benchmark,
+    assert_almost_equal,
+    benchmark,
+    load_checkpoint,
+    load_config,
+    load_norms,
+    save_checkpoint,
+    save_norms,
+)
+from cppre.utils.runlog import Run
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from cppre.models import FNO1d
+
+    m = FNO1d(T_in=1, step=1, modes1=4, num_vars=1, width_time=8)
+    x = jnp.ones((1, 1, 32, 1))
+    params = m.init(jax.random.PRNGKey(0), x)
+    path = save_checkpoint(str(tmp_path / "FNO_Wave_testrun"), params)
+    restored = load_checkpoint(path, params)
+    y1 = m.apply(params, x)
+    y2 = m.apply(restored, x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_norms_npz_contract(tmp_path):
+    from cppre.train.normalizers import MinMaxNormalizer
+
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 8).astype(np.float32))
+    n_in, n_out = MinMaxNormalizer(x), MinMaxNormalizer(2 * x)
+    path = save_norms(str(tmp_path / "FNO_Wave_testrun"), n_in, n_out)
+    # the reference reads keys in_a/in_b/out_a/out_b directly
+    z = np.load(path)
+    assert set(z.files) == {"in_a", "in_b", "out_a", "out_b"}
+    r_in, r_out = load_norms(path)
+    np.testing.assert_allclose(np.asarray(r_in.encode(x)), np.asarray(n_in.encode(x)))
+    np.testing.assert_allclose(np.asarray(r_out.decode(x)), np.asarray(n_out.decode(x)))
+
+
+def test_yaml_config_loads():
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "cppre", "uq", "configs", "Wave_FNO.yaml"))
+    assert cfg["Case"] == "Wave" and "UQ" in cfg and cfg["T_out"] == 20
+
+
+def test_runlog_local(tmp_path):
+    run = Run().init(name="t", folder=str(tmp_path), metadata={"Case": "Wave"})
+    run.update_metadata({"Number of Params": 123})
+    run.log_metrics({"loss": 0.5}, step=1)
+    run.save_object({"a": np.ones(3)}, name="arrays")
+    run.close()
+    meta = json.load(open(tmp_path / "t" / "metadata.json"))
+    assert meta["Number of Params"] == 123
+    assert (tmp_path / "t" / "metrics.jsonl").exists()
+    assert (tmp_path / "t" / "artifact" / "arrays.npz").exists()
+
+
+def test_benchmark_and_tolerance():
+    b = benchmark(lambda: np.ones(10), num_iterations=3)
+    assert isinstance(b, Benchmark) and b.mean >= 0
+    assert_almost_equal(np.ones(5), np.ones(5) + 2e-5)
+    try:
+        assert_almost_equal(np.ones(5), np.ones(5) + 1e-3)
+        raised = False
+    except AssertionError:
+        raised = True
+    assert raised
