@@ -1,0 +1,46 @@
+"""Acquisition functions (reference `Advection_AL_Joint.py:297-331`)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..cp.inductive import calibrate, filter_sims_joint
+
+__all__ = ["acquire_cp", "acquire_pre", "acquire_rand"]
+
+
+def acquire_cp(params, pred_residual, cal_scores, modulation, alpha: float = 0.5):
+    """Joint-CP rejection: candidates whose residual escapes the
+    [-qhat*mod, +qhat*mod] band (:333-338, mask inverted vs
+    filter_sims_joint). Returns the rejected parameter rows."""
+    qhat = calibrate(jnp.asarray(cal_scores), len(cal_scores), alpha)
+    sets = (-qhat * modulation, qhat * modulation)
+    inside = np.asarray(filter_sims_joint(sets, jnp.asarray(pred_residual)))
+    return np.asarray(params)[~inside]
+
+
+def acquire_pre(params, pred_residual, alpha: float = 0.5,
+                largest: bool = True):
+    """Rank candidates by mean |residual| and take the (1-alpha) fraction.
+
+    The reference comment says "Descending order of PRE" but its
+    `torch.sort` is ascending, so it actually keeps the SMALLEST residuals
+    (`Advection_AL_Joint.py:341-346`) — `largest=False` replicates that;
+    the default follows the stated intent (largest residuals = most
+    informative)."""
+    pred_residual = np.asarray(pred_residual)
+    mean_res = np.abs(pred_residual).mean(axis=tuple(range(1, pred_residual.ndim)))
+    order = np.argsort(mean_res)
+    if largest:
+        order = order[::-1]
+    num = int((1 - alpha) * len(params))
+    return np.asarray(params)[order][:num]
+
+
+def acquire_rand(params, alpha: float = 0.5, seed: int = 0):
+    """Random acquisition (with replacement, like the reference's
+    np.random.randint; :349-353)."""
+    rng = np.random.RandomState(seed)
+    num = int((1 - alpha) * len(params))
+    return np.asarray(params)[rng.randint(0, len(params), num)]

@@ -1,0 +1,133 @@
+"""Physics-informed training, active learning, and differentiable CNS tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppre.models import FNO1d, FNO2d
+
+
+def test_pi_loss_reduces_residual():
+    """PI fine-tuning on the wave PRE must reduce the physics residual."""
+    from cppre.pi import finetune_physics_informed, make_pi_loss
+    from cppre.pi.losses import fno_chunk_residual
+    from cppre.residuals.wave import PRE_Wave
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(8, 1, 16, 16, 1).astype(np.float32))
+    u = jnp.asarray(rng.rand(8, 1, 16, 16, 6).astype(np.float32))
+    model = FNO2d(T_in=1, step=1, modes1=4, modes2=4, num_vars=1, width_time=8)
+    params = model.init(jax.random.PRNGKey(0), a)
+
+    pre = PRE_Wave(0.1, 0.1, c=0.5)
+    residual_fn = fno_chunk_residual(pre)
+    pi_loss = make_pi_loss(residual_fn)
+
+    from cppre.train.rollout import autoregressive_rollout
+
+    pred0 = autoregressive_rollout(lambda x: model.apply(params, x), a, 1, 6)
+    l0 = float(pi_loss(pred0))
+    params2 = finetune_physics_informed(
+        model.apply, params, a, u, loss_fn=pi_loss, epochs=5, batch_size=4,
+        step=1, T_out=6, lr=2e-3)
+    pred1 = autoregressive_rollout(lambda x: model.apply(params2, x), a, 1, 6)
+    assert float(pi_loss(pred1)) < l0
+
+
+def test_pisl_and_combined_losses():
+    from cppre.pi import make_combined_loss, make_pisl_loss
+    from cppre.pi.losses import fno_chunk_residual
+    from cppre.residuals.wave import PRE_Wave
+
+    pre = PRE_Wave(0.1, 0.1)
+    res = fno_chunk_residual(pre)
+    rng = np.random.RandomState(1)
+    pred = jnp.asarray(rng.rand(2, 1, 12, 12, 6).astype(np.float32))
+    # PISL of a field against itself is exactly zero
+    assert float(make_pisl_loss(res)(pred, pred)) == 0.0
+    target = pred + 0.1
+    comb = make_combined_loss(res, weight=1000.0)
+    pisl_val = float(make_pisl_loss(res)(pred, target))
+    comb_val = float(comb(pred, target))
+    assert comb_val > 1000.0 * pisl_val  # Lp term adds on top
+
+
+def test_acquisition_functions():
+    from cppre.al import acquire_cp, acquire_pre, acquire_rand
+
+    rng = np.random.default_rng(0)
+    params = rng.random((20, 2)).astype(np.float32)
+    residual = rng.standard_normal((20, 5, 7)).astype(np.float32)
+    cal_scores = np.abs(rng.standard_normal(50)).astype(np.float32)
+    mod = np.abs(rng.standard_normal((5, 7))).astype(np.float32) + 1e-6
+
+    rej = acquire_cp(params, residual, cal_scores, mod, alpha=0.5)
+    assert rej.shape[1] == 2
+
+    top = acquire_pre(params, residual, alpha=0.5)
+    assert len(top) == 10
+    means = np.abs(residual).mean(axis=(1, 2))
+    # default keeps the LARGEST residuals
+    assert set(map(tuple, top)) == set(map(tuple, params[np.argsort(means)[::-1]][:10]))
+
+    rnd = acquire_rand(params, alpha=0.5, seed=1)
+    assert len(rnd) == 10
+
+
+def test_active_learning_loop_reduces_mse():
+    """Tiny advection AL: test MSE after AL iterations must not blow up and
+    the loop must sample simulations."""
+    from cppre.al import active_learning_loop
+    from cppre.solvers.advection1d import Advection1D
+    from cppre.experiments.advection import CONFIG, _gen_fields, _to_convops
+    from cppre.residuals.advection import PRE_Advection
+    from cppre.train.loops import fit
+    from cppre.train.losses import mse as mse_loss
+
+    cfg = dict(CONFIG, Nx=64, Nt=40, T_out=10)
+    sim = Advection1D(cfg["Nx"], cfg["Nt"], 0.0, 2.0, 0.5)
+    pre = PRE_Advection(sim.dt, sim.dx, v=1.0)
+    gen = lambda p: _gen_fields(sim, p, 1, 10)
+
+    from cppre.experiments.common import sample_params
+
+    tr = sample_params([0.5, 50], [1.0, 200], 10, seed=0)
+    a0, u0 = gen(tr)
+    te_a, te_u = gen(sample_params([0.5, 50], [1.0, 200], 10, seed=9))
+
+    model = FNO1d(T_in=1, step=1, modes1=4, num_vars=1, width_time=8)
+    p0 = model.init(jax.random.PRNGKey(0), a0)
+    p0 = fit(model.apply, p0, a0, u0, te_a[:2], te_u[:2], epochs=4,
+             batch_size=5, step=1, T_out=10, loss_func=mse_loss)
+
+    params, mse_hist, sampled = active_learning_loop(
+        acq_func="PRE", model=model, params=p0, gen_fields=gen,
+        residual_of=lambda pred: np.asarray(pre(_to_convops(pred))),
+        lb=[0.5, 50], ub=[1.0, 200], train_a=a0, train_u=u0,
+        test_a=te_a, test_u=te_u, n_iterations=2, n_pred=10, alpha=0.5,
+        epochs=3, batch_size=5, step=1, T_out=10, verbose=False)
+    assert len(mse_hist) == 3 and len(sampled) == 2
+    assert all(s > 0 for s in sampled)
+    assert mse_hist[-1] < mse_hist[0] * 5  # no divergence
+
+
+def test_cns_rhs_and_residuals():
+    from cppre.solvers.cns_differentiable import CNSResiduals, EulerFVRHS
+
+    rng = np.random.default_rng(0)
+    fields = jnp.asarray(rng.standard_normal((2, 4, 16, 16)).astype(np.float32))
+    fields = fields.at[:, 0].set(jnp.abs(fields[:, 0]) + 1.0)  # rho > 0
+    fields = fields.at[:, 3].set(jnp.abs(fields[:, 3]) + 1.0)  # p > 0
+    rhs_op = EulerFVRHS(dx=0.0078, dy=0.0078)
+    rhs = rhs_op(fields)
+    assert rhs.shape == fields.shape and np.isfinite(np.asarray(rhs)).all()
+    # differentiable end-to-end
+    g = jax.grad(lambda f: jnp.sum(rhs_op(f) ** 2))(fields)
+    assert np.isfinite(np.asarray(g)).all()
+
+    traj = jnp.asarray(rng.standard_normal((2, 4, 6, 16, 16)).astype(np.float32))
+    traj = traj.at[:, 0].set(jnp.abs(traj[:, 0]) + 1.0)
+    cns = CNSResiduals()
+    m = cns.mass(traj)
+    mom = cns.momentum(traj, {"eta": 0.01, "zeta": 0.01})
+    assert m.shape == (2, 4, 14, 14) and mom.shape == (2, 4, 14, 14)
