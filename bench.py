@@ -50,30 +50,92 @@ def bench_jax(fields, pred):
     import jax.numpy as jnp
 
     from cppre.cp.inductive import calibrate, modulation_func, ncf_metric_joint
+    from cppre.ops.pallas import ns_momentum_residual_fused
     from cppre.residuals.ns import PRE_NS
 
     pre = PRE_NS(DT, DX, DX, nu=NU)
 
+    def make_pipeline(residual):
+        @jax.jit
+        def pipeline(truth, prediction):
+            res_out = residual(truth)
+            res_pred = residual(prediction)
+            mod = modulation_func(res_out, res_pred) + 1e-6
+            scores = ncf_metric_joint(res_out, res_pred, mod)
+            return calibrate(scores, N_CAL, ALPHA)
+
+        return pipeline
+
+    xla_pipe = make_pipeline(pre.residual_momentum)
+    pallas_pipe = make_pipeline(
+        lambda v: ns_momentum_residual_fused(v, DT, DX, DX, NU))
+
+    f = jnp.asarray(fields)
+    p = jnp.asarray(pred)
+
+    def timed(pipe):
+        q0 = float(pipe(f, p))  # compile + execute
+        times = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            # force a host fetch of the scalar result: on the remote (axon)
+            # backend block_until_ready returns before execution completes,
+            # so fetching is the only reliable sync point.
+            float(pipe(f, p))
+            times.append(time.perf_counter() - t0)
+        return float(np.mean(times)), q0
+
+    t_xla, q_xla = timed(xla_pipe)
+    return min(t_xla, _bench_pallas_subprocess(q_xla))
+
+
+def _bench_pallas_subprocess(q_xla: float, timeout_s: int = 420) -> float:
+    """Time the Pallas pipeline in a subprocess with a hard timeout: the
+    remote-compile path for Pallas kernels can hang when the TPU tunnel is
+    degraded, and the bench must never hang the driver."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--pallas-leg", repr(q_xla)],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("PALLAS_T="):
+                return float(line.split("=", 1)[1])
+    except (subprocess.TimeoutExpired, ValueError, OSError):
+        pass
+    return float("inf")  # pallas leg unavailable; XLA number stands
+
+
+def _pallas_leg(q_xla: float):
+    import jax
+    import jax.numpy as jnp
+
+    from cppre.cp.inductive import calibrate, modulation_func, ncf_metric_joint
+    from cppre.ops.pallas import ns_momentum_residual_fused
+
+    fields, pred = _synthetic_fields()
+
     @jax.jit
     def pipeline(truth, prediction):
-        res_out = pre.residual_momentum(truth)
-        res_pred = pre.residual_momentum(prediction)
+        res_out = ns_momentum_residual_fused(truth, DT, DX, DX, NU)
+        res_pred = ns_momentum_residual_fused(prediction, DT, DX, DX, NU)
         mod = modulation_func(res_out, res_pred) + 1e-6
         scores = ncf_metric_joint(res_out, res_pred, mod)
         return calibrate(scores, N_CAL, ALPHA)
 
-    f = jnp.asarray(fields)
-    p = jnp.asarray(pred)
-    float(pipeline(f, p))  # compile + execute
+    f, p = jnp.asarray(fields), jnp.asarray(pred)
+    q = float(pipeline(f, p))
+    if abs(q - q_xla) > 1e-4 * max(abs(q_xla), 1e-6):
+        raise AssertionError(f"pallas/xla qhat mismatch: {q} vs {q_xla}")
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        # force a host fetch of the scalar result: on the remote (axon)
-        # backend block_until_ready returns before execution completes, so
-        # fetching is the only reliable sync point.
         float(pipeline(f, p))
         times.append(time.perf_counter() - t0)
-    return float(np.mean(times))
+    print(f"PALLAS_T={float(np.mean(times))}")
 
 
 def bench_torch_cpu(fields, pred):
@@ -138,4 +200,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--pallas-leg":
+        _pallas_leg(float(sys.argv[2]))
+    else:
+        main()

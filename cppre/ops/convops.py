@@ -168,11 +168,12 @@ class _ConvOperatorBase:
         out = fftconv.fft_conv(f, k, padding=pad, inverse=inverse)
         return out[:, 0] if squeezed else out
 
-    def differentiate(self, field, kernel=None, correlation=False, slice_pad=True):
+    def differentiate(self, field, kernel=None, correlation=False, slice_pad=True, vector=None):
         if kernel is not None:
             self.kernel = kernel
         f, squeezed = self._bc(field)
-        out = fftconv.spectral_differentiate(f, jnp.asarray(self.kernel), correlation, slice_pad)
+        out = fftconv.spectral_differentiate(f, jnp.asarray(self.kernel), correlation,
+                                             slice_pad, vector=vector)
         return out[:, 0] if squeezed else out
 
     def integrate(self, field, kernel=None, correlation=False, slice_pad=None, eps=1e-6):

@@ -146,6 +146,7 @@ def _manual_spectral(
     inverse: bool,
     eps: float,
     pad: bool,
+    vector: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Shared body of ConvOps `differentiate`/`integrate` (ConvOps_2d.py:179-284).
 
@@ -153,7 +154,10 @@ def _manual_spectral(
     Unlike `fft_conv`, every spatial dim is zero-padded by k//2 on both sides
     and there is no even-length rFFT pad (faithful to the reference).
     `pad=False` reproduces the ConvOps_0d.integrate quirk of discarding the
-    padding (ConvOps_0d.py:200-202).
+    padding (ConvOps_0d.py:200-202). `vector` (shape [*spatial] or
+    [B, *spatial]) multiplies in Fourier space — the variable-coefficient
+    trick for e.g. x * dy/dx residual terms
+    (`Inverse_residuals/tests/vector_residuals_test.py:32-85`).
     """
     n = field.ndim - 2
     p = kernel.shape[-1] // 2
@@ -177,6 +181,14 @@ def _manual_spectral(
     if correlation:
         kernel_fft = jnp.conj(kernel_fft)
 
+    if vector is not None:
+        vec = jnp.asarray(vector)
+        while vec.ndim < field.ndim:
+            vec = vec[None]
+        if pad:
+            vec = jnp.pad(vec, [(0, 0)] * (vec.ndim - n) + [(p, p)] * n)
+        kernel_fft = kernel_fft * jnp.fft.rfftn(vec.astype(jnp.float32), axes=axes)
+
     output = jnp.fft.irfftn(field_fft * kernel_fft, axes=axes)
 
     if slice_pad:
@@ -191,9 +203,11 @@ def _manual_spectral(
     return output
 
 
-def spectral_differentiate(field, kernel, correlation=False, slice_pad=True):
-    """Manual FFT differentiation (reference ConvOps_*.differentiate)."""
-    return _manual_spectral(field, kernel, correlation, slice_pad, inverse=False, eps=0.0, pad=True)
+def spectral_differentiate(field, kernel, correlation=False, slice_pad=True, vector=None):
+    """Manual FFT differentiation (reference ConvOps_*.differentiate);
+    `vector` enables variable-coefficient terms like x * dy/dx."""
+    return _manual_spectral(field, kernel, correlation, slice_pad, inverse=False,
+                            eps=0.0, pad=True, vector=vector)
 
 
 def spectral_integrate(field, kernel, correlation=False, slice_pad=False, eps=1e-6, pad=True):

@@ -1,0 +1,13 @@
+"""Pallas TPU kernels for the hot PRE paths.
+
+The profiler-visible cost of the PRE pipeline is HBM traffic: the XLA
+lowering of `D_t(u)*a + u*D_x(u)*b + ...` materialises several
+field-sized intermediates per residual term. These kernels evaluate a whole
+residual in one VMEM pass per batch block — load (u, v, p) once, apply all
+stencil taps as register shifts, emit the interior-cropped result (and
+optionally |.| for nonconformity scores) without intermediate HBM writes.
+"""
+
+from .stencil_kernels import fused_stencil_residual, ns_momentum_residual_fused
+
+__all__ = ["fused_stencil_residual", "ns_momentum_residual_fused"]

@@ -1,0 +1,191 @@
+"""Fused stencil-residual kernels (Pallas, TPU).
+
+Two entry points:
+
+* `fused_stencil_residual(field, kernel, take_abs=False)` — the composite
+  additive-kernel path (advection/wave: one kernel evaluates the whole PDE,
+  reference `ConvOps_2d.convolution` + interior crop + |.| score in one
+  pass). field [BS, Nt, Nx, Ny], kernel [3, 3, 3] compile-time constant.
+  Output [BS, Nt-2, Nx-2, Ny-2] (the reference's `res[..., 1:-1, 1:-1,
+  1:-1]` crop — because the crop discards the SAME-pad halo, the kernel
+  only ever computes valid interior points and needs no padding at all).
+
+* `ns_momentum_residual_fused(fields, dt, dx, dy, nu)` — the full NS
+  momentum residual (`Joint/NS_Residuals_CP.py:231-240`): 10 stencil
+  applications + elementwise combination over (u, v, p), one VMEM pass.
+
+Grid: one program per batch sample; each block is the sample's whole
+[Nt, Nx, Ny] trajectory in VMEM (21 x 100 x 100 f32 ~ 0.9 MB; the v5e has
+~16 MB/core). Derivative taps are static slices of the loaded block — pure
+VPU shift-adds, no MXU (a 7-tap stencil has no arithmetic intensity to
+feed a systolic array; bandwidth is the budget and one-load-per-field is
+the optimum). Falls back to the jnp shift-add path off-TPU.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["fused_stencil_residual", "ns_momentum_residual_fused"]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# generic composite-kernel residual
+# ---------------------------------------------------------------------------
+
+def _taps(kernel: np.ndarray):
+    """Non-zero (offset, weight) taps of a constant stencil."""
+    kernel = np.asarray(kernel)
+    return [
+        (idx, float(kernel[idx]))
+        for idx in itertools.product(*(range(k) for k in kernel.shape))
+        if kernel[idx] != 0.0
+    ]
+
+
+def _valid_shift_add(block, taps, out_shape):
+    """sum_w w * block[t+dt, x+dx, y+dy] over the valid interior."""
+    acc = None
+    for (it, ix, iy), w in taps:
+        window = block[it : it + out_shape[0], ix : ix + out_shape[1],
+                       iy : iy + out_shape[2]]
+        term = window * w
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def fused_stencil_residual(field, kernel, take_abs: bool = False,
+                           interpret: bool | None = None):
+    """|D(field)| on the interior, one VMEM pass per sample.
+
+    field: [BS, Nt, Nx, Ny]; kernel: constant [k, k, k] (odd k).
+    Returns [BS, Nt-k+1, Nx-k+1, Ny-k+1] == the reference crop for k=3.
+    """
+    kernel = np.asarray(kernel)
+    k = kernel.shape[0]
+    taps = _taps(kernel)
+    bs, nt, nx, ny = field.shape
+    out_shape = (nt - k + 1, nx - k + 1, ny - k + 1)
+
+    if interpret is None:
+        if not _on_tpu():
+            # off-TPU reference path: same math, plain XLA
+            from ..convops import stencil_shift_add
+
+            res = stencil_shift_add(field, kernel, same=False)
+            return jnp.abs(res) if take_abs else res
+        interpret = False
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel_fn(in_ref, out_ref):
+        block = in_ref[0]
+        acc = _valid_shift_add(block, taps, out_shape)
+        out_ref[0] = jnp.abs(acc) if take_abs else acc
+
+    return pl.pallas_call(
+        kernel_fn,
+        out_shape=jax.ShapeDtypeStruct((bs,) + out_shape, field.dtype),
+        grid=(bs,),
+        in_specs=[pl.BlockSpec((1, nt, nx, ny), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1,) + out_shape, lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(field)
+
+
+# ---------------------------------------------------------------------------
+# fused NS momentum residual
+# ---------------------------------------------------------------------------
+
+def _interior(block, nt, nx, ny):
+    return block[1 : nt - 1, 1 : nx - 1, 1 : ny - 1]
+
+
+def _d_t(block, nt, nx, ny):
+    return block[2:nt, 1 : nx - 1, 1 : ny - 1] - block[0 : nt - 2, 1 : nx - 1, 1 : ny - 1]
+
+
+def _d_x(block, nt, nx, ny):
+    return block[1 : nt - 1, 2:nx, 1 : ny - 1] - block[1 : nt - 1, 0 : nx - 2, 1 : ny - 1]
+
+
+def _d_y(block, nt, nx, ny):
+    return block[1 : nt - 1, 1 : nx - 1, 2:ny] - block[1 : nt - 1, 1 : nx - 1, 0 : ny - 2]
+
+
+def _d_lap(block, nt, nx, ny):
+    c = _interior(block, nt, nx, ny)
+    return (block[1 : nt - 1, 2:nx, 1 : ny - 1] + block[1 : nt - 1, 0 : nx - 2, 1 : ny - 1]
+            + block[1 : nt - 1, 1 : nx - 1, 2:ny] + block[1 : nt - 1, 1 : nx - 1, 0 : ny - 2]
+            - 4.0 * c)
+
+
+def _ns_momentum_math(u, v, p, nt, nx, ny, dt, dx, dy, nu):
+    """The reference residual (`Joint/NS_Residuals_CP.py:231-240`) on the
+    interior window, all derivative taps as shifted slices."""
+    ui, vi = _interior(u, nt, nx, ny), _interior(v, nt, nx, ny)
+    res_x = (_d_t(u, nt, nx, ny) * (dx * dy)
+             + ui * _d_x(u, nt, nx, ny) * (dt * dy)
+             + vi * _d_y(u, nt, nx, ny) * (dt * dx)
+             - nu * _d_lap(u, nt, nx, ny) * dt
+             + _d_x(p, nt, nx, ny) * (dt * dy))
+    res_y = (_d_t(v, nt, nx, ny) * (dx * dy)
+             + ui * _d_x(v, nt, nx, ny) * (dt * dx)
+             + vi * _d_y(v, nt, nx, ny) * (dt * dy)
+             - nu * _d_lap(v, nt, nx, ny) * dt
+             + _d_y(p, nt, nx, ny) * (dt * dx))
+    return res_x + res_y
+
+
+def ns_momentum_residual_fused(fields, dt: float, dx: float, dy: float,
+                               nu: float = 0.001, interpret: bool | None = None):
+    """Fused NS momentum PRE: fields [BS, 3, Nt, Nx, Ny] (u, v, p) ->
+    interior residual [BS, Nt-2, Nx-2, Ny-2]. Matches
+    `PRE_NS.residual_momentum(..., boundary=False)` exactly (the SAME-pad
+    halo is discarded by the crop, so only valid points are computed)."""
+    bs, nvar, nt, nx, ny = fields.shape
+    assert nvar >= 3
+    out_shape = (nt - 2, nx - 2, ny - 2)
+
+    if interpret is None:
+        if not _on_tpu():
+            u, v, p = fields[:, 0], fields[:, 1], fields[:, 2]
+            return jax.vmap(
+                lambda uu, vv, pp: _ns_momentum_math(uu, vv, pp, nt, nx, ny, dt, dx, dy, nu)
+            )(u, v, p)
+        interpret = False
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel_fn(in_ref, out_ref):
+        u = in_ref[0, 0]
+        v = in_ref[0, 1]
+        p = in_ref[0, 2]
+        out_ref[0] = _ns_momentum_math(u, v, p, nt, nx, ny, dt, dx, dy, nu)
+
+    return pl.pallas_call(
+        kernel_fn,
+        out_shape=jax.ShapeDtypeStruct((bs,) + out_shape, fields.dtype),
+        grid=(bs,),
+        in_specs=[pl.BlockSpec((1, nvar, nt, nx, ny), lambda b: (b, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1,) + out_shape, lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(fields)

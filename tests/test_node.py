@@ -1,0 +1,81 @@
+"""NODE tests: integrator, training, residual kernels, inversion roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppre.node import (
+    ODEFunc,
+    dho_residual_kernel,
+    dho_solution,
+    fit_node,
+    neural_odeint,
+    sho_residual_kernel,
+    sho_solution,
+)
+from cppre.node.problems import bessel_residual, cauchy_euler_residual, \
+    bessel_solution, cauchy_euler_solution
+
+
+def test_analytic_solutions_satisfy_residuals():
+    """The residual composite kernels annihilate the analytic solutions to
+    discretisation order (the core PRE premise in ODE-land)."""
+    t = np.linspace(0, 10, 200).astype(np.float32)
+    dt = float(t[1] - t[0])
+
+    x = sho_solution(t)
+    D = sho_residual_kernel(dt)
+    res = np.asarray(D(jnp.asarray(x)[None]))[0, 2:-2]
+    assert np.abs(res).max() < 5e-3  # O(dt^2) * dt^2 scale
+
+    xd = dho_solution(t)
+    Dd = dho_residual_kernel(dt)
+    resd = np.asarray(Dd(jnp.asarray(xd)[None]))[0, 2:-2]
+    assert np.abs(resd).max() < 1e-2
+
+    # variable-coefficient residuals on analytic solutions
+    tb = np.linspace(0.5, 10, 300)
+    rb = np.asarray(bessel_residual(bessel_solution(tb), tb))[3:-3]
+    assert np.abs(rb).max() < 0.05
+    tc = np.linspace(1.0, 3.0, 300)
+    rc = np.asarray(cauchy_euler_residual(
+        cauchy_euler_solution(tc, a=2.0, b=0.75), tc, a=2.0, b=0.75))[3:-3]
+    assert np.abs(rc).max() < 0.05
+
+
+def test_node_fits_sho():
+    t = np.linspace(0, 5, 50).astype(np.float32)
+    x = sho_solution(t)
+    v = np.gradient(x, t)
+    target = jnp.asarray(np.stack([x, v], axis=-1), jnp.float32)
+    model = ODEFunc(hidden_dim=24, state_dim=2)
+    params = fit_node(model, target[0], t, target, epochs=150, lr=2e-2)
+    traj = neural_odeint(model, params, target[0], t)
+    mse = float(jnp.mean((traj - target) ** 2))
+    assert mse < 0.05
+
+
+def test_integrate_differentiate_roundtrip_0d():
+    """integrate(differentiate(u)) ~ u away from boundaries
+    (DHO_NODE.py:537-548)."""
+    # (a) parity with the torch reference on a non-periodic signal: the
+    # circular-FFT deconvolution does NOT recover cos(t) here — in either
+    # implementation — and ours must match the reference bit-for-bit
+    # (reference rec[5:8] = [-0.281, -0.718, -1.151] for this input).
+    t = np.linspace(0, 10, 128).astype(np.float32)
+    x = np.asarray(sho_solution(t), dtype=np.float32)
+    D = sho_residual_kernel(float(t[1] - t[0]))
+    rec = np.asarray(D.integrate(D.differentiate(jnp.asarray(x)[None])))[0]
+    np.testing.assert_allclose(rec[5:8], [-0.281, -0.718, -1.151], atol=2e-3)
+
+    # (b) genuine recovery: on a decaying trajectory that vanishes at both
+    # ends (the reference's DHO roundtrip context, DHO_NODE.py:537-548) the
+    # circular wraparound is harmless and the interior is recovered.
+    td = np.linspace(0, 30, 256).astype(np.float32)
+    xd = np.asarray(dho_solution(td, m=1.0, c=0.8, k=1.0), dtype=np.float32)
+    Dd = dho_residual_kernel(float(td[1] - td[0]), c=0.8)
+    recd = np.asarray(Dd.integrate(Dd.differentiate(jnp.asarray(xd)[None])))[0]
+    L = len(recd) - 10
+    errs = [np.abs(recd[5 : 5 + L] - xd[5 + off : 5 + off + L]).max()
+            for off in range(-1, 3)]
+    assert min(errs) < 0.08, errs

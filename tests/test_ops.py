@@ -292,3 +292,38 @@ def test_bare_invalid_stencil_leaves_kernel_none():
 
     op = ConvOperator2d(("x", "y"), 1)
     assert op.kernel is None
+
+
+def test_vector_differentiate_matches_torch_reference():
+    """Variable-coefficient `differentiate(vector=...)` parity vs the
+    reference implementation (`Inverse_residuals/tests/
+    vector_residuals_test.py:32-85`). Note: the reference's Fourier-space
+    triple product is a circular convolution with the vector, NOT pointwise
+    multiplication — it does not compute x*dy/dx (its own plot-based test
+    shows a large discrepancy); we reproduce it bit-for-bit, and the correct
+    variable-coefficient form is simply `vector * D(field)`."""
+    import torch
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+    from cppre.ops.convops import ConvOperator0d
+
+    x = np.linspace(0, np.pi, 100, dtype=np.float32)
+    y = np.sin(x).astype(np.float32)
+    k = np.array([-1.0, 0.0, 1.0], dtype=np.float32)
+
+    # torch reference path
+    field = torch.tensor(y)[None, None]
+    padded = F.pad(field, (1, 1))
+    f_fft = torch.fft.rfftn(padded, dim=(2,))
+    pk = F.pad(torch.tensor(k)[None, None], (0, padded.size(2) - 3))
+    k_fft = torch.fft.rfftn(pk, dim=(2,))
+    pv = F.pad(torch.tensor(x)[None, None], (1, 1))
+    v_fft = torch.fft.rfftn(pv, dim=(2,))
+    k_fft.imag *= -1
+    out = torch.fft.irfftn(f_fft * k_fft * v_fft, dim=(2,))[:, :, : padded.size(2) - 2]
+    ref = out[0, 0].numpy()
+
+    D = ConvOperator0d(order=1)
+    ours = np.asarray(D.differentiate(jnp.asarray(y)[None], vector=jnp.asarray(x)[None],
+                                      correlation=True))[0]
+    np.testing.assert_allclose(ours, ref, atol=1e-2, rtol=1e-4)

@@ -1,0 +1,52 @@
+"""Pallas fused-stencil kernels: parity vs the ConvOps reference paths.
+
+On CPU the compiled path is exercised through the Pallas interpreter
+(interpret=True); the compiled TPU path is covered by bench.py on hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cppre.ops.convops import direct_conv
+from cppre.ops.pallas import fused_stencil_residual, ns_momentum_residual_fused
+from cppre.ops.stencils import embed_kernel_3d, stencil_time_space
+from cppre.residuals.ns import PRE_NS
+
+
+@pytest.fixture(scope="module")
+def field():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.standard_normal((3, 10, 20, 24)), jnp.float32)
+
+
+def _composite_kernel():
+    return (embed_kernel_3d(stencil_time_space(1, 2), 2)
+            - 0.3 * embed_kernel_3d(stencil_time_space(2, 2), 0))
+
+
+@pytest.mark.parametrize("interpret", [None, True])
+def test_fused_stencil_matches_convops(field, interpret):
+    k = _composite_kernel()
+    ref = direct_conv(field, k)[..., 1:-1, 1:-1, 1:-1]
+    out = fused_stencil_residual(field, k, interpret=interpret)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_fused_stencil_abs(field):
+    k = _composite_kernel()
+    ref = jnp.abs(direct_conv(field, k)[..., 1:-1, 1:-1, 1:-1])
+    out = fused_stencil_residual(field, k, take_abs=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+@pytest.mark.parametrize("interpret", [None, True])
+def test_fused_ns_momentum_matches_pre_ns(interpret):
+    rng = np.random.default_rng(1)
+    fields = jnp.asarray(rng.standard_normal((2, 3, 10, 20, 24)), jnp.float32)
+    dt, dx, dy, nu = 0.01, 0.02, 0.03, 1e-3
+    pre = PRE_NS(dt, dx, dy, nu=nu)
+    ref = pre.residual_momentum(fields)
+    out = ns_momentum_residual_fused(fields, dt, dx, dy, nu, interpret=interpret)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
