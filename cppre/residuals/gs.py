@@ -27,12 +27,25 @@ class PRE_GradShafranov:
         self.D_ZZ = ConvOperator2d("y", 2, legacy_y_axis=legacy_y_axis)
 
     def residual(self, psi, boundary: bool = False, norms: bool = True):
+        """psi: [BS, NR, NZ] (or [BS, Nt, NR, NZ] with a real time axis).
+
+        The crop removes one spatial cell per side. (The reference crops
+        `[..., 1:-1, 1:-1, 1:-1]` including the time axis, which on its own
+        EFIT data — psi [N, 1, 33, 33] — slices the singleton axis to
+        length zero; since the GS operator is purely spatial, only the
+        spatial halo is invalid and only it is cropped here.)"""
+        squeeze = psi.ndim == 3
+        if squeeze:
+            psi = psi[:, None]  # dummy time axis; all stencils live in the
+            # t-centre plane so SAME conv over Nt=1 is exact
         if norms:
             res = (self.D_RR(psi) * self.dz**2
                    - (1 / self.R) * self.D_R(psi) * self.dz**2 * self.dr
                    + self.D_ZZ(psi) * self.dr**2)
         else:
             res = self.D_RR(psi) - (1 / self.R) * self.D_R(psi) + self.D_ZZ(psi)
-        return res if boundary else res[..., 1:-1, 1:-1, 1:-1]
+        if not boundary:
+            res = res[..., 1:-1, 1:-1]
+        return res[:, 0] if squeeze else res
 
     __call__ = residual

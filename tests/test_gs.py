@@ -1,0 +1,58 @@
+"""Grad-Shafranov tests: Solov'ev analytic validation, CAE, EFIT pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppre.ops.convops import ConvOperator2d
+from cppre.residuals.gs import PRE_GradShafranov
+from cppre.solvers.solovev import gs_forcing, solovev_batch
+
+
+def test_delta_star_matches_analytic_forcing():
+    """Delta* of the Solov'ev psi equals R^2 + A(1 - R^2) to FD truncation."""
+    R, Z, params, psi = solovev_batch(2, 64, 64, seed=0)
+    dr, dz = float(R[1] - R[0]), float(Z[1] - Z[0])
+    D_R = ConvOperator2d("x", 1)
+    D_RR = ConvOperator2d("x", 2)
+    D_ZZ = ConvOperator2d("y", 2)
+    f = jnp.asarray(psi)[:, None]
+    Rcol = jnp.asarray(R)[:, None]
+    delta = (D_RR(f) / dr**2 - (1 / Rcol) * D_R(f) / (2 * dr)
+             + D_ZZ(f) / dz**2)[:, 0, 1:-1, 1:-1]
+    for i in range(2):
+        exp = gs_forcing(R, Z, params[i, 0])[1:-1, 1:-1]
+        rel = np.abs(np.asarray(delta[i]) - exp).max() / np.abs(exp).max()
+        assert rel < 0.01
+
+
+def test_pre_gs_shapes_and_finiteness():
+    R, Z, params, psi = solovev_batch(3, 32, 32, seed=1)
+    pre = PRE_GradShafranov(R, float(R[1] - R[0]), float(Z[1] - Z[0]))
+    res = pre(jnp.asarray(psi))
+    assert res.shape == (3, 30, 30)
+    assert np.isfinite(np.asarray(res)).all()
+    full = pre(jnp.asarray(psi), boundary=True)
+    assert full.shape == (3, 32, 32)
+
+
+def test_cae_shapes():
+    from cppre.models.cae import ConvAutoencoder
+
+    m = ConvAutoencoder(n_params=8)
+    c = jnp.ones((2, 2, 32, 32))
+    p = jnp.ones((2, 8))
+    params = m.init(jax.random.PRNGKey(0), c, p)
+    out = m.apply(params, c, p)
+    assert out.shape == (2, 1, 32, 32)
+    # conditioning matters: different params change the output
+    out2 = m.apply(params, c, 2.0 * p)
+    assert float(jnp.abs(out - out2).max()) > 0
+
+
+def test_efit_pipeline_coverage():
+    from cppre.experiments.gs import run_efit
+
+    out = run_efit(seed=0, verbose=False)
+    ideal = 1 - out["alphas"]
+    assert np.all(out["coverage"] >= ideal - 0.05)
