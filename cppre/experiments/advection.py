@@ -110,6 +110,13 @@ def run(mode: str = "marginal", config: dict | None = None, seed: int = 0,
     aer = cp_fn(res_out_cal, res_pred_cal, res_pred_test, res_out_test, mode="aer+pre")
     pre_only = cp_fn(res_out_cal, res_pred_cal, pred_residual, mode="pre")
 
+    # residual-bound inversion back to solution space via deconvolution
+    # (`Expts_initial/Advection_Residuals_CP.py:340-352`): integrate the
+    # CP set edges around the prediction's residual
+    lo, hi = aer["sets"]
+    u_lower = pre.D.integrate(jnp.asarray(lo))
+    u_upper = pre.D.integrate(jnp.asarray(hi))
+
     results = {
         "config": cfg, "mode": mode, "train_time": train_time,
         "mse": float(mse), "mae": float(mae),
@@ -119,6 +126,7 @@ def run(mode: str = "marginal", config: dict | None = None, seed: int = 0,
         "qhat": np.asarray(aer["qhat"]),
         "n_rejected": int(np.sum(np.asarray(pre_only["filter_mask"])))
         if pre_only["filter_mask"] is not None else None,
+        "inverted_bounds": (np.asarray(u_lower), np.asarray(u_upper)),
     }
     if verbose:
         for a, c1, c2 in zip(results["alphas"], results["coverage_aer_pre"],

@@ -29,7 +29,7 @@ PI_CONFIG = dict(CONFIG, Config="finetune", c_pi=0.5, PI_Epochs=100)
 
 def run(loss_kind: str = "pi", mode: str = "finetune",
         config: dict | None = None, seed: int = 0, verbose: bool = True):
-    cfg = dict(PI_CONFIG, **(config or {}), Config=mode)
+    cfg = {**PI_CONFIG, **(config or {}), "Config": mode}
     T_in, T_out, step = cfg["T_in"], cfg["T_out"], cfg["Step"]
     n_total = cfg["n_train"] + cfg["n_test"]
     data, dt_eff, dx = gen_data(cfg, n_total, seed)
