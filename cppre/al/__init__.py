@@ -7,7 +7,7 @@ rejected parameters back through the solver into the training set for
 fine-tuning, over n_iterations rounds.
 """
 
-from .acquisition import acquire_cp, acquire_pre, acquire_rand
+from .acquisition import acquire_cp, acquire_cp_marginal, acquire_pre, acquire_rand
 from .loop import active_learning_loop
 
-__all__ = ["acquire_cp", "acquire_pre", "acquire_rand", "active_learning_loop"]
+__all__ = ["acquire_cp", "acquire_cp_marginal", "acquire_pre", "acquire_rand", "active_learning_loop"]

@@ -1,13 +1,14 @@
-"""Acquisition functions (reference `Advection_AL_Joint.py:297-331`)."""
+"""Acquisition functions (reference `Advection_AL_Joint.py:297-331` and the
+marginal variant `Advection_AL_Marginal.py:169-220`)."""
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..cp.inductive import calibrate, filter_sims_joint
+from ..cp.inductive import calibrate, filter_sims_joint, filter_sims_within_bounds
 
-__all__ = ["acquire_cp", "acquire_pre", "acquire_rand"]
+__all__ = ["acquire_cp", "acquire_cp_marginal", "acquire_pre", "acquire_rand"]
 
 
 def acquire_cp(params, pred_residual, cal_scores, modulation, alpha: float = 0.5):
@@ -18,6 +19,17 @@ def acquire_cp(params, pred_residual, cal_scores, modulation, alpha: float = 0.5
     sets = (-qhat * modulation, qhat * modulation)
     inside = np.asarray(filter_sims_joint(sets, jnp.asarray(pred_residual)))
     return np.asarray(params)[~inside]
+
+
+def acquire_cp_marginal(params, pred_residual, cal_scores, alpha: float = 0.5,
+                        threshold: float = 0.5):
+    """Marginal-CP rejection (`Advection_AL_Marginal.py:169-220`): per-cell
+    qhat from the calibration scores; candidates whose fraction of cells
+    OUTSIDE [-qhat, +qhat] exceeds `threshold` are acquired."""
+    qhat = calibrate(jnp.asarray(cal_scores), len(cal_scores), alpha)
+    mask = np.asarray(filter_sims_within_bounds(
+        -qhat, qhat, jnp.asarray(pred_residual), threshold, within=False))
+    return np.asarray(params)[mask]
 
 
 def acquire_pre(params, pred_residual, alpha: float = 0.5,

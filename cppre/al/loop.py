@@ -17,14 +17,14 @@ import numpy as np
 from ..experiments.common import sample_params
 from ..train.loops import fit
 from ..train.rollout import validation_AR
-from .acquisition import acquire_cp, acquire_pre, acquire_rand
+from .acquisition import acquire_cp, acquire_cp_marginal, acquire_pre, acquire_rand
 
 __all__ = ["active_learning_loop"]
 
 
 def active_learning_loop(
     *,
-    acq_func: str,                       # 'CP' | 'PRE' | 'RAND'
+    acq_func: str,                       # 'CP' | 'CP_MARGINAL' | 'PRE' | 'RAND'
     model, params,
     gen_fields: Callable,                # design [n, d] -> (a, u) FNO tensors
     residual_of: Callable,               # rollout pred tensor -> residual array
@@ -63,6 +63,8 @@ def active_learning_loop(
 
         if acq_func == "CP":
             chosen = acquire_cp(pool, pred_residual, cal_scores, modulation, alpha)
+        elif acq_func == "CP_MARGINAL":
+            chosen = acquire_cp_marginal(pool, pred_residual, cal_scores, alpha)
         elif acq_func == "PRE":
             chosen = acquire_pre(pool, pred_residual, alpha)
         elif acq_func == "RAND":

@@ -37,13 +37,10 @@ CONFIG = {
 
 
 def scrub(fields, sim_names=None, bad_list=()):
-    """NaN scrub + bad-run deletion (reference :131-142): drop simulations
-    containing NaNs or named in the curated bad list."""
-    fields = np.asarray(fields)
-    ok = ~np.isnan(fields).any(axis=tuple(range(1, fields.ndim)))
-    if sim_names is not None and bad_list:
-        ok &= ~np.isin(np.asarray(sim_names), list(bad_list))
-    return fields[ok], ok
+    """NaN scrub + bad-run deletion (reference :131-142)."""
+    from ..utils.validate import scrub_nan_sims
+
+    return scrub_nan_sims(fields, sim_names, bad_list)
 
 
 def synthetic_blobs(n: int, NR: int = 32, NZ: int = 32, Nt: int = 50,

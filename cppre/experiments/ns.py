@@ -43,7 +43,8 @@ def gen_data(cfg: dict, n: int, seed: int = 0):
     params = sample_params(LB, UB, n, seed)
     u, v, p, w = (np.asarray(f) for f in sim.solve_batch(params))
     xs = cfg["x_slice"]
-    fields = [f[:, :, ::xs, ::xs] for f in (u, v, p)]
+    which = (u, v, p, w) if cfg.get("Variables", 3) >= 4 else (u, v, p)
+    fields = [f[:, :, ::xs, ::xs] for f in which]
     data = np.stack([np.moveaxis(f, 1, -1) for f in fields], axis=1)
     dt_eff = cfg["dt"] * cfg["t_slice"]
     dx = cfg["L"] / cfg["N"] * xs
@@ -57,8 +58,46 @@ def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
     data, dt_eff, dx = gen_data(cfg, n_total, seed)
     pre = PRE_NS(dt_eff, dx, dx, nu=cfg["nu"])
     res = getattr(pre, f"residual_{cfg['residual']}")
-    return run_2d_cp(data=data, residual_fn=res, cfg=cfg, mode=mode,
-                     params=params, seed=seed, verbose=verbose)
+    out = run_2d_cp(data=data, residual_fn=res, cfg=cfg, mode=mode,
+                    params=params, seed=seed, verbose=verbose)
+    if mode == "marginal" and cfg.get("Variables", 3) >= 4:
+        # CP over periodic-BC violation of the vorticity field
+        # (`Marginal/NS_Residuals_CP.py:468-499`)
+        out["bc_coverage"] = _bc_residual_cp(data, pre, out, cfg, verbose)
+    return out
+
+
+def _bc_residual_cp(data, pre, out, cfg, verbose):
+    import jax.numpy as jnp
+
+    from ..train.rollout import validation_AR
+    from .base2d import _to_convops
+    from .pipeline import marginal_coverage_sweep
+
+    T_in, T_out, step = cfg["T_in"], cfg["T_out"], cfg["Step"]
+    in_norm, out_norm = out["normalizers"]
+    dat = jnp.asarray(data, jnp.float32)
+    a_all = in_norm.encode(dat[..., :T_in])
+    u_all = out_norm.encode(dat[..., T_in : T_in + T_out])
+    n_train, n_cal = cfg.get("n_train", 0), cfg["n_cal"]
+    cal = slice(n_train, n_train + n_cal)
+    prd = slice(n_train + n_cal, None)
+    from ..models import FNO2d
+
+    model = FNO2d(T_in=T_in, step=step, modes1=cfg["Modes"], modes2=cfg["Modes"],
+                  num_vars=cfg["Variables"], width_time=cfg["Width_time"])
+    apply_fn = lambda x: model.apply(out["params"], x)
+    pred_cal, _, _ = validation_AR(apply_fn, a_all[cal], u_all[cal], step, T_out)
+    pred_prd, _, _ = validation_AR(apply_fn, a_all[prd], u_all[prd], step, T_out)
+    w_cal = _to_convops(out_norm.decode(pred_cal))[:, -1]   # vorticity channel
+    w_prd = _to_convops(out_norm.decode(pred_prd))[:, -1]
+    scores = jnp.abs(pre.periodic_bc_residual(w_cal))
+    bc_pred = pre.periodic_bc_residual(w_prd)
+    alphas, cov = marginal_coverage_sweep(scores, bc_pred, None)
+    if verbose:
+        for a, c in zip(alphas, cov):
+            print(f"BC residual: alpha={a:.2f} cov={c:.3f}")
+    return cov
 
 
 if __name__ == "__main__":

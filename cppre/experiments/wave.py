@@ -58,3 +58,47 @@ if __name__ == "__main__":
     import sys
 
     run(sys.argv[1] if len(sys.argv) > 1 else "joint")
+
+
+def discretisation_sweep(data, params, discs=(1, 2, 4), config: dict | None = None,
+                         seed: int = 0, verbose: bool = True):
+    """Coverage at coarser temporal discretisations (the marginal
+    experiment's rebuttal study, `Marginal/Wave_Residuals_CP.py:458-480`):
+    re-form the composite kernel with dt*disc, subsample the rollout and
+    targets `[..., ::disc]`, and sweep marginal coverage per disc."""
+    import jax
+
+    from ..models import FNO2d
+    from ..train.normalizers import MinMaxNormalizer
+    from ..train.rollout import validation_AR
+    from .base2d import _to_convops
+    from .pipeline import marginal_cp
+
+    cfg = dict(CONFIG, **(config or {}))
+    T_in, T_out, step = cfg["T_in"], cfg["T_out"], cfg["Step"]
+    sim = Wave2D(cfg["Nx"], cfg["x_min"], cfg["x_max"], cfg["tend"], cfg["c"])
+    dt_eff, dx = sim.dt * cfg["t_slice"], sim.dx
+
+    import jax.numpy as jnp
+
+    data = jnp.asarray(data, jnp.float32)
+    a_all, u_all = data[..., :T_in], data[..., T_in : T_in + T_out]
+    in_n, out_n = MinMaxNormalizer(a_all), MinMaxNormalizer(u_all)
+    model = FNO2d(T_in=T_in, step=step, modes1=cfg["Modes"], modes2=cfg["Modes"],
+                  num_vars=cfg["Variables"], width_time=cfg["Width_time"])
+    apply_fn = lambda x: model.apply(params, x)
+    n_cal = data.shape[0] // 2
+    pred, _, _ = validation_AR(apply_fn, in_n.encode(a_all), out_n.encode(u_all),
+                               step, T_out)
+    pred = out_n.decode(pred)
+
+    results = {}
+    for disc in discs:
+        pre = PRE_Wave(dt_eff * disc, dx, c=cfg["c"])
+        ro = pre(_to_convops(u_all[..., ::disc])[:, 0])
+        rp = pre(_to_convops(pred[..., ::disc])[:, 0])
+        out = marginal_cp(ro[:n_cal], rp[:n_cal], rp[n_cal:], ro[n_cal:])
+        results[disc] = out["coverage"]
+        if verbose:
+            print(f"disc={disc}: coverage {out['coverage'].round(3)}")
+    return results

@@ -54,13 +54,20 @@ class PRE_NS:
     # PRE_estimations.py uses the momentum residual as "the" NS residual
     residual = residual_momentum
 
-    @staticmethod
-    def periodic_bc_residual(field, wall: int = 0):
+    def periodic_bc_residual(self, field, wall: str = "right"):
         """CP over boundary-condition violation: difference between opposite
-        walls of a periodic field [BS, Nt, Nx, Ny]
-        (`Marginal/NS_Residuals_CP.py:468-495`). wall 0: x-walls, 1: y-walls."""
-        if wall == 0:
-            return field[..., 0, :] - field[..., -1, :]
-        return field[..., :, 0] - field[..., :, -1]
+        walls of a periodic field [BS, Nt, Nx, Ny], scaled by dx
+        (`Marginal/NS_Residuals_CP.py:468-478`)."""
+        if wall == "top":
+            res = field[..., 0, :] - field[..., -1, :]
+        elif wall == "bottom":
+            res = field[..., -1, :] - field[..., 0, :]
+        elif wall == "left":
+            res = field[..., :, 0] - field[..., :, -1]
+        elif wall == "right":
+            res = field[..., :, -1] - field[..., :, 0]
+        else:
+            raise ValueError(f"unknown wall {wall}")
+        return res * self.dx
 
     __call__ = residual_momentum

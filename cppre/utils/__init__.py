@@ -11,7 +11,9 @@ hard-wires the simvue SaaS client), the `Benchmark` timing helper
 from .benchmark import Benchmark, benchmark, assert_almost_equal
 from .checkpoint import save_checkpoint, load_checkpoint, save_norms, load_norms
 from .config import load_config, validate_config
+from .profiling import timer, trace
 from .runlog import Run, NoOpRun
+from .validate import check_finite, check_shape, scrub_nan_sims
 
 __all__ = [
     "Benchmark",
@@ -25,4 +27,9 @@ __all__ = [
     "validate_config",
     "Run",
     "NoOpRun",
+    "timer",
+    "trace",
+    "check_finite",
+    "check_shape",
+    "scrub_nan_sims",
 ]

@@ -75,3 +75,29 @@ def test_benchmark_and_tolerance():
     except AssertionError:
         raised = True
     assert raised
+
+
+def test_validation_helpers():
+    from cppre.utils import check_finite, check_shape, scrub_nan_sims
+
+    x = np.ones((3, 4))
+    check_finite(x)
+    check_shape(x, (3, None))
+    try:
+        check_finite(np.array([1.0, np.nan]))
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+    fields = np.ones((4, 2, 2))
+    fields[1, 0, 0] = np.nan
+    clean, mask = scrub_nan_sims(fields, names=["a", "b", "c", "d"], bad_list=["d"])
+    assert clean.shape[0] == 2 and list(mask) == [True, False, True, False]
+
+
+def test_timer_and_trace_helpers():
+    from cppre.utils import timer
+
+    with timer("t", sink=None) as t:
+        sum(range(1000))
+    assert t["seconds"] > 0
