@@ -189,3 +189,98 @@ def ns_momentum_residual_fused(fields, dt: float, dx: float, dy: float,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(fields)
+
+
+# ---------------------------------------------------------------------------
+# fused joint-CP statistics: diff residual + cross-batch moments in one pass
+# ---------------------------------------------------------------------------
+
+def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
+                           nu: float = 0.001, interpret: bool | None = None):
+    """One-pass joint-CP front end: reads the truth and prediction field
+    tensors once, emits (diff_residual [BS, *out], sum [*out], sumsq [*out])
+    where diff = PRE(truth) - PRE(pred) and the moment accumulators give the
+    per-cell modulation std = sqrt(sumsq/N - (sum/N)^2).
+
+    Exploits the TPU grid's SEQUENTIAL execution: the moment outputs map to
+    the same block for every grid step, so programs accumulate across the
+    batch (initialised at b == 0). This removes two residual-tensor HBM
+    round-trips vs computing res_out/res_pred separately and reducing with
+    jnp.std."""
+    bs, nvar, nt, nx, ny = truth.shape
+    out_shape = (nt - 2, nx - 2, ny - 2)
+
+    def _xla_path():
+        u, v, p = truth[:, 0], truth[:, 1], truth[:, 2]
+        up, vp, pp = prediction[:, 0], prediction[:, 1], prediction[:, 2]
+        f = lambda a, b_, c: _ns_momentum_math(a, b_, c, nt, nx, ny, dt, dx, dy, nu)
+        diff = jax.vmap(f)(u, v, p) - jax.vmap(f)(up, vp, pp)
+        return diff, jnp.sum(diff, axis=0), jnp.sum(diff**2, axis=0)
+
+    # VMEM budget: two double-buffered input blocks + out + stats must fit
+    # in ~16 MB scoped vmem; pad nx to sublanes (8) and ny to lanes (128).
+    pad = lambda v, m: -(-v // m) * m
+    block_bytes = nvar * nt * pad(nx, 8) * pad(ny, 128) * 4
+    vmem_est = 2 * 2 * block_bytes + 3 * (nt * pad(nx, 8) * pad(ny, 128) * 4)
+    if interpret is None:
+        if not _on_tpu() or vmem_est > 14 * 1024 * 1024:
+            return _xla_path()
+        interpret = False
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel_fn(t_ref, p_ref, diff_ref, sum_ref, sumsq_ref):
+        b = pl.program_id(0)
+        res_t = _ns_momentum_math(t_ref[0, 0], t_ref[0, 1], t_ref[0, 2],
+                                  nt, nx, ny, dt, dx, dy, nu)
+        res_p = _ns_momentum_math(p_ref[0, 0], p_ref[0, 1], p_ref[0, 2],
+                                  nt, nx, ny, dt, dx, dy, nu)
+        d = res_t - res_p
+        diff_ref[0] = d
+
+        @pl.when(b == 0)
+        def _():
+            sum_ref[...] = d
+            sumsq_ref[...] = d * d
+
+        @pl.when(b > 0)
+        def _():
+            sum_ref[...] += d
+            sumsq_ref[...] += d * d
+
+    block_in = pl.BlockSpec((1, nvar, nt, nx, ny), lambda b: (b, 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec(out_shape, lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel_fn,
+        out_shape=(
+            jax.ShapeDtypeStruct((bs,) + out_shape, truth.dtype),
+            jax.ShapeDtypeStruct(out_shape, truth.dtype),
+            jax.ShapeDtypeStruct(out_shape, truth.dtype),
+        ),
+        grid=(bs,),
+        in_specs=[block_in, block_in],
+        out_specs=(
+            pl.BlockSpec((1,) + out_shape, lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            stat_spec,
+            stat_spec,
+        ),
+        interpret=interpret,
+    )(truth, prediction)
+
+
+def ns_joint_cp_scores_fused(truth, prediction, dt: float, dx: float,
+                             dy: float, nu: float = 0.001, eps: float = 1e-6,
+                             interpret: bool | None = None):
+    """Full joint-CP nonconformity scores in two fused passes:
+    per-sample sup-norm of |diff| / (std(diff, axis=0) + eps).
+    Matches modulation_func + ncf_metric_joint over the NS momentum PRE."""
+    n = truth.shape[0]
+    diff, s, sq = ns_joint_cp_diff_stats(truth, prediction, dt, dx, dy, nu,
+                                         interpret=interpret)
+    mean = s / n
+    mod = jnp.sqrt(jnp.maximum(sq / n - mean**2, 0.0)) + eps
+    return jnp.max(jnp.abs(diff) / mod, axis=tuple(range(1, diff.ndim)))

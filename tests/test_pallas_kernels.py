@@ -50,3 +50,20 @@ def test_fused_ns_momentum_matches_pre_ns(interpret):
     ref = pre.residual_momentum(fields)
     out = ns_momentum_residual_fused(fields, dt, dx, dy, nu, interpret=interpret)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+@pytest.mark.parametrize("interpret", [None, True])
+def test_fused_joint_cp_scores_match_reference_path(interpret):
+    from cppre.cp.inductive import modulation_func, ncf_metric_joint
+    from cppre.ops.pallas.stencil_kernels import ns_joint_cp_scores_fused
+
+    rng = np.random.default_rng(2)
+    truth = jnp.asarray(rng.standard_normal((6, 3, 8, 16, 24)), jnp.float32)
+    pred = truth + 0.1 * jnp.asarray(rng.standard_normal(truth.shape), jnp.float32)
+    dt, dx, dy, nu = 0.01, 0.02, 0.02, 1e-3
+    pre = PRE_NS(dt, dx, dy, nu=nu)
+    ro, rp = pre.residual_momentum(truth), pre.residual_momentum(pred)
+    mod = modulation_func(ro, rp) + 1e-6
+    expected = ncf_metric_joint(ro, rp, mod)
+    got = ns_joint_cp_scores_fused(truth, pred, dt, dx, dy, nu, interpret=interpret)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-3)
