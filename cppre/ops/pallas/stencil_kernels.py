@@ -284,3 +284,103 @@ def ns_joint_cp_scores_fused(truth, prediction, dt: float, dx: float,
     mean = s / n
     mod = jnp.sqrt(jnp.maximum(sq / n - mean**2, 0.0)) + eps
     return jnp.max(jnp.abs(diff) / mod, axis=tuple(range(1, diff.ndim)))
+
+
+def ns_joint_cp_diff_stats_chunked(truth, prediction, dt: float, dx: float,
+                                   dy: float, nu: float = 0.001,
+                                   t_block: int = 5,
+                                   interpret: bool | None = None):
+    """One-pass diff+stats at shapes too large for whole-trajectory blocks.
+
+    Same contract as `ns_joint_cp_diff_stats`, but the per-sample
+    trajectories stay in HBM (`memory_space=ANY`) and the kernel manually
+    DMAs overlapping time chunks (t_block interior frames + 1-frame halo
+    per side) into VMEM scratch, computes the chunk's residual difference,
+    DMAs it out, and accumulates the cross-batch moments in VMEM. This
+    keeps the footprint at ~2 x nvar x (t_block+2) x Nx x Ny per tensor
+    regardless of Nt, where the whole-block variant needs both full
+    trajectories resident (OOM at the benchmark shape).
+    """
+    bs, nvar, nt, nx, ny = truth.shape
+    out_t = nt - 2
+    out_shape = (out_t, nx - 2, ny - 2)
+
+    if interpret is None:
+        if not _on_tpu():
+            return ns_joint_cp_diff_stats(truth, prediction, dt, dx, dy, nu)
+        interpret = False
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # static chunk table: (interior_start, interior_len)
+    chunks = []
+    t0 = 0
+    while t0 < out_t:
+        chunks.append((t0, min(t_block, out_t - t0)))
+        t0 += t_block
+
+    def kernel_fn(t_hbm, p_hbm, diff_hbm, sum_ref, sumsq_ref,
+                  t_vmem, p_vmem, d_vmem, sems):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            sum_ref[...] = jnp.zeros_like(sum_ref)
+            sumsq_ref[...] = jnp.zeros_like(sumsq_ref)
+
+        for ci, (c0, clen) in enumerate(chunks):
+            nt_c = clen + 2  # chunk frames incl. halo
+            cp_in_t = pltpu.make_async_copy(
+                t_hbm.at[b, :, pl.ds(c0, nt_c)], t_vmem.at[:, pl.ds(0, nt_c)],
+                sems.at[0])
+            cp_in_p = pltpu.make_async_copy(
+                p_hbm.at[b, :, pl.ds(c0, nt_c)], p_vmem.at[:, pl.ds(0, nt_c)],
+                sems.at[1])
+            cp_in_t.start()
+            cp_in_p.start()
+            cp_in_t.wait()
+            cp_in_p.wait()
+
+            res_t = _ns_momentum_math(t_vmem[0, :nt_c], t_vmem[1, :nt_c],
+                                      t_vmem[2, :nt_c], nt_c, nx, ny,
+                                      dt, dx, dy, nu)
+            res_p = _ns_momentum_math(p_vmem[0, :nt_c], p_vmem[1, :nt_c],
+                                      p_vmem[2, :nt_c], nt_c, nx, ny,
+                                      dt, dx, dy, nu)
+            d = res_t - res_p  # [clen, nx-2, ny-2]
+            d_vmem[pl.ds(0, clen)] = d
+            sum_ref[pl.ds(c0, clen)] += d
+            sumsq_ref[pl.ds(c0, clen)] += d * d
+
+            cp_out = pltpu.make_async_copy(
+                d_vmem.at[pl.ds(0, clen)], diff_hbm.at[b, pl.ds(c0, clen)],
+                sems.at[2])
+            cp_out.start()
+            cp_out.wait()
+
+    max_nt_c = max(clen for _, clen in chunks) + 2
+    return pl.pallas_call(
+        kernel_fn,
+        out_shape=(
+            jax.ShapeDtypeStruct((bs,) + out_shape, truth.dtype),
+            jax.ShapeDtypeStruct(out_shape, truth.dtype),
+            jax.ShapeDtypeStruct(out_shape, truth.dtype),
+        ),
+        grid=(bs,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(out_shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(out_shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nvar, max_nt_c, nx, ny), truth.dtype),
+            pltpu.VMEM((nvar, max_nt_c, nx, ny), truth.dtype),
+            pltpu.VMEM((max_nt_c - 2, nx - 2, ny - 2), truth.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(truth, prediction)

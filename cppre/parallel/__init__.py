@@ -23,6 +23,7 @@ from .sharding import (
     make_sharded_train_step,
 )
 from .halo import stencil_conv_sharded
+from .multihost import initialize, global_mesh
 
 __all__ = [
     "make_mesh",
@@ -31,4 +32,6 @@ __all__ = [
     "sharded_calibrate",
     "make_sharded_train_step",
     "stencil_conv_sharded",
+    "initialize",
+    "global_mesh",
 ]

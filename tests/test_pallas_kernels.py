@@ -67,3 +67,21 @@ def test_fused_joint_cp_scores_match_reference_path(interpret):
     expected = ncf_metric_joint(ro, rp, mod)
     got = ns_joint_cp_scores_fused(truth, pred, dt, dx, dy, nu, interpret=interpret)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-3)
+
+
+def test_chunked_diff_stats_matches_whole_block():
+    from cppre.ops.pallas.stencil_kernels import (
+        ns_joint_cp_diff_stats,
+        ns_joint_cp_diff_stats_chunked,
+    )
+
+    rng = np.random.default_rng(3)
+    t = jnp.asarray(rng.standard_normal((4, 3, 13, 16, 24)), jnp.float32)
+    p = t + 0.1 * jnp.asarray(rng.standard_normal(t.shape), jnp.float32)
+    d1, s1, q1 = ns_joint_cp_diff_stats(t, p, 0.01, 0.02, 0.02)
+    # uneven chunking (13-2=11 interior frames in blocks of 4 -> 4,4,3)
+    d2, s2, q2 = ns_joint_cp_diff_stats_chunked(
+        t, p, 0.01, 0.02, 0.02, t_block=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
