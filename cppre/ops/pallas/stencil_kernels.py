@@ -301,14 +301,24 @@ def ns_joint_cp_diff_stats_chunked(truth, prediction, dt: float, dx: float,
     regardless of Nt, where the whole-block variant needs both full
     trajectories resident (OOM at the benchmark shape).
     """
-    bs, nvar, nt, nx, ny = truth.shape
+    bs, nvar, nt, nx, ny_in = truth.shape
     out_t = nt - 2
-    out_shape = (out_t, nx - 2, ny - 2)
 
     if interpret is None:
         if not _on_tpu():
             return ns_joint_cp_diff_stats(truth, prediction, dt, dx, dy, nu)
         interpret = False
+
+    # Mosaic HBM slices must be 128-lane aligned: zero-pad the y axis (the
+    # residual's valid y-interior, columns [0, ny_in-2), uses only real
+    # data; the padded tail is cropped after the kernel).
+    ny = -(-ny_in // 128) * 128 if not interpret else ny_in
+    if ny != ny_in:
+        padspec = [(0, 0)] * 4 + [(0, ny - ny_in)]
+        truth = jnp.pad(truth, padspec)
+        prediction = jnp.pad(prediction, padspec)
+    out_shape = (out_t, nx - 2, ny - 2)
+    dma_shape = (out_t, nx - 2, ny)  # full-lane-width DMA, tail is garbage
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -320,8 +330,11 @@ def ns_joint_cp_diff_stats_chunked(truth, prediction, dt: float, dx: float,
         chunks.append((t0, min(t_block, out_t - t0)))
         t0 += t_block
 
+    n_chunks = len(chunks)
+    max_nt_c = max(clen for _, clen in chunks) + 2
+
     def kernel_fn(t_hbm, p_hbm, diff_hbm, sum_ref, sumsq_ref,
-                  t_vmem, p_vmem, d_vmem, sems):
+                  t_vmem, p_vmem, d_vmem, in_sems, out_sems):
         b = pl.program_id(0)
 
         @pl.when(b == 0)
@@ -329,41 +342,62 @@ def ns_joint_cp_diff_stats_chunked(truth, prediction, dt: float, dx: float,
             sum_ref[...] = jnp.zeros_like(sum_ref)
             sumsq_ref[...] = jnp.zeros_like(sumsq_ref)
 
-        for ci, (c0, clen) in enumerate(chunks):
-            nt_c = clen + 2  # chunk frames incl. halo
-            cp_in_t = pltpu.make_async_copy(
-                t_hbm.at[b, :, pl.ds(c0, nt_c)], t_vmem.at[:, pl.ds(0, nt_c)],
-                sems.at[0])
-            cp_in_p = pltpu.make_async_copy(
-                p_hbm.at[b, :, pl.ds(c0, nt_c)], p_vmem.at[:, pl.ds(0, nt_c)],
-                sems.at[1])
-            cp_in_t.start()
-            cp_in_p.start()
-            cp_in_t.wait()
-            cp_in_p.wait()
+        def in_copies(ci, slot):
+            c0, clen = chunks[ci]
+            nt_c = clen + 2
+            return (
+                pltpu.make_async_copy(
+                    t_hbm.at[b, :, pl.ds(c0, nt_c)],
+                    t_vmem.at[slot, :, pl.ds(0, nt_c)], in_sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    p_hbm.at[b, :, pl.ds(c0, nt_c)],
+                    p_vmem.at[slot, :, pl.ds(0, nt_c)], in_sems.at[slot, 1]),
+            )
 
-            res_t = _ns_momentum_math(t_vmem[0, :nt_c], t_vmem[1, :nt_c],
-                                      t_vmem[2, :nt_c], nt_c, nx, ny,
-                                      dt, dx, dy, nu)
-            res_p = _ns_momentum_math(p_vmem[0, :nt_c], p_vmem[1, :nt_c],
-                                      p_vmem[2, :nt_c], nt_c, nx, ny,
-                                      dt, dx, dy, nu)
+        def out_copy(ci, slot):
+            c0, clen = chunks[ci]
+            return pltpu.make_async_copy(
+                d_vmem.at[slot, pl.ds(0, clen)],
+                diff_hbm.at[b, pl.ds(c0, clen)], out_sems.at[slot])
+
+        # warm-up: prefetch chunk 0
+        for cp in in_copies(0, 0):
+            cp.start()
+
+        for ci, (c0, clen) in enumerate(chunks):
+            slot = ci % 2
+            # prefetch the next chunk into the other slot while computing
+            if ci + 1 < n_chunks:
+                for cp in in_copies(ci + 1, (ci + 1) % 2):
+                    cp.start()
+            for cp in in_copies(ci, slot):
+                cp.wait()
+
+            nt_c = clen + 2
+            res_t = _ns_momentum_math(
+                t_vmem[slot, 0, :nt_c], t_vmem[slot, 1, :nt_c],
+                t_vmem[slot, 2, :nt_c], nt_c, nx, ny, dt, dx, dy, nu)
+            res_p = _ns_momentum_math(
+                p_vmem[slot, 0, :nt_c], p_vmem[slot, 1, :nt_c],
+                p_vmem[slot, 2, :nt_c], nt_c, nx, ny, dt, dx, dy, nu)
             d = res_t - res_p  # [clen, nx-2, ny-2]
-            d_vmem[pl.ds(0, clen)] = d
+
+            if ci >= 2:  # this d_vmem slot's previous out-copy must finish
+                out_copy(ci - 2, slot).wait()
+            d_vmem[slot, pl.ds(0, clen), :, : ny - 2] = d
+            d_vmem[slot, pl.ds(0, clen), :, ny - 2 :] = jnp.zeros(
+                (clen, nx - 2, 2), d.dtype)
             sum_ref[pl.ds(c0, clen)] += d
             sumsq_ref[pl.ds(c0, clen)] += d * d
+            out_copy(ci, slot).start()
 
-            cp_out = pltpu.make_async_copy(
-                d_vmem.at[pl.ds(0, clen)], diff_hbm.at[b, pl.ds(c0, clen)],
-                sems.at[2])
-            cp_out.start()
-            cp_out.wait()
-
-    max_nt_c = max(clen for _, clen in chunks) + 2
-    return pl.pallas_call(
+        # drain outstanding out-copies
+        for ci in range(max(n_chunks - 2, 0), n_chunks):
+            out_copy(ci, ci % 2).wait()
+    diff, s, sq = pl.pallas_call(
         kernel_fn,
         out_shape=(
-            jax.ShapeDtypeStruct((bs,) + out_shape, truth.dtype),
+            jax.ShapeDtypeStruct((bs,) + dma_shape, truth.dtype),
             jax.ShapeDtypeStruct(out_shape, truth.dtype),
             jax.ShapeDtypeStruct(out_shape, truth.dtype),
         ),
@@ -376,11 +410,15 @@ def ns_joint_cp_diff_stats_chunked(truth, prediction, dt: float, dx: float,
             pl.BlockSpec(out_shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nvar, max_nt_c, nx, ny), truth.dtype),
-            pltpu.VMEM((nvar, max_nt_c, nx, ny), truth.dtype),
-            pltpu.VMEM((max_nt_c - 2, nx - 2, ny - 2), truth.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, nvar, max_nt_c, nx, ny), truth.dtype),
+            pltpu.VMEM((2, nvar, max_nt_c, nx, ny), truth.dtype),
+            pltpu.VMEM((2, max_nt_c - 2, nx - 2, ny), truth.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(truth, prediction)
+    # crop the padded y tail (garbage from the zero-padded columns)
+    crop = ny_in - 2
+    return diff[..., :crop], s[..., :crop], sq[..., :crop]
