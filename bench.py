@@ -51,7 +51,6 @@ def bench_jax(fields, pred):
     import jax.numpy as jnp
 
     from cppre.cp.inductive import calibrate, modulation_func, ncf_metric_joint
-    from cppre.ops.pallas import ns_momentum_residual_fused
     from cppre.residuals.ns import PRE_NS
 
     pre = PRE_NS(DT, DX, DX, nu=NU)
@@ -79,8 +78,7 @@ def bench_jax(fields, pred):
         return pipeline
 
     xla_pipe = make_pipeline(pre.residual_momentum)
-    pallas_pipe = make_pipeline(
-        lambda v: ns_momentum_residual_fused(v, DT, DX, DX, NU))
+    # (the Pallas leg is timed only in the subprocess — see _pallas_leg)
 
     f = jnp.asarray(fields)
     p = jnp.asarray(pred)
@@ -116,8 +114,13 @@ def _bench_pallas_subprocess(q_xla: float, timeout_s: int = 420) -> float:
         for line in out.stdout.splitlines():
             if line.startswith("PALLAS_T="):
                 return float(line.split("=", 1)[1])
-    except (subprocess.TimeoutExpired, ValueError, OSError):
-        pass
+        # no timing line: distinguish a parity regression from a dead tunnel
+        print(f"bench: pallas leg produced no timing (exit {out.returncode}); "
+              f"stderr tail: {out.stderr[-400:]!r}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("bench: pallas leg timed out (degraded TPU tunnel?)", file=sys.stderr)
+    except (ValueError, OSError) as e:
+        print(f"bench: pallas leg failed to launch: {e}", file=sys.stderr)
     return float("inf")  # pallas leg unavailable; XLA number stands
 
 

@@ -31,7 +31,8 @@ def active_learning_loop(
     lb, ub,
     train_a, train_u,                    # initial training set
     test_a, test_u,
-    cal_scores=None, modulation=None,    # needed for CP acquisition
+    cal_scores=None, modulation=None,    # joint-CP acquisition (per-sample scores)
+    cal_scores_marginal=None,            # marginal-CP acquisition (per-cell scores)
     n_iterations: int = 5,
     n_pred: int = 100,
     alpha: float = 0.5,
@@ -64,7 +65,12 @@ def active_learning_loop(
         if acq_func == "CP":
             chosen = acquire_cp(pool, pred_residual, cal_scores, modulation, alpha)
         elif acq_func == "CP_MARGINAL":
-            chosen = acquire_cp_marginal(pool, pred_residual, cal_scores, alpha)
+            if cal_scores_marginal is None:
+                raise ValueError(
+                    "CP_MARGINAL needs cal_scores_marginal (per-cell |residual| "
+                    "scores, e.g. jnp.abs(res_cal)); the joint cal_scores are "
+                    "per-sample sup-norms and would give a scalar qhat")
+            chosen = acquire_cp_marginal(pool, pred_residual, cal_scores_marginal, alpha)
         elif acq_func == "PRE":
             chosen = acquire_pre(pool, pred_residual, alpha)
         elif acq_func == "RAND":

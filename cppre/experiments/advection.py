@@ -22,6 +22,7 @@ from ..residuals.advection import PRE_Advection
 from ..solvers.advection1d import Advection1D
 from ..train.loops import fit
 from ..train.losses import mse as mse_loss
+from ..cp.inductive import calibrate
 from ..train.rollout import validation_AR
 from .common import sample_params
 from .pipeline import joint_cp, marginal_cp
@@ -111,11 +112,17 @@ def run(mode: str = "marginal", config: dict | None = None, seed: int = 0,
     pre_only = cp_fn(res_out_cal, res_pred_cal, pred_residual, mode="pre")
 
     # residual-bound inversion back to solution space via deconvolution
-    # (`Expts_initial/Advection_Residuals_CP.py:340-352`): integrate the
-    # CP set edges around the prediction's residual
-    lo, hi = aer["sets"]
-    u_lower = pre.D.integrate(jnp.asarray(lo))
-    u_upper = pre.D.integrate(jnp.asarray(hi))
+    # (`Expts_initial/Advection_Residuals_CP.py:340-352`). The deconvolution
+    # is a global FFT, so the sets must be built on the UNCROPPED residual
+    # (the boundary crop would shift/distort every deconvolved value).
+    res_pred_cal_full = pre(_to_convops(pred_cal[..., ::disc]), boundary=True)
+    res_out_cal_full = pre(_to_convops(cal_u[..., ::disc]), boundary=True)
+    res_pred_test_full = pre(_to_convops(pred_test[..., ::disc]), boundary=True)
+    qhat_full = calibrate(
+        jnp.abs(res_out_cal_full - res_pred_cal_full),
+        cfg["n_cal"], 0.1)
+    u_lower = pre.D.integrate(res_pred_test_full - qhat_full)
+    u_upper = pre.D.integrate(res_pred_test_full + qhat_full)
 
     results = {
         "config": cfg, "mode": mode, "train_time": train_time,

@@ -102,7 +102,8 @@ def run_2d_cp(
         if mode == "joint" else cp_fn(res_out_cal, res_pred_cal, res_pred, mode="pre")
 
     results = {
-        "config": cfg, "mode": mode, "params": params,
+        "config": cfg, "mode": mode, "params": params, "apply_fn": apply_fn,
+        "pred_cal": pred_cal, "pred_pred": pred_pred,
         "train_time": train_time, "mse": float(mse), "mae": float(mae),
         "alphas": aer["alphas"],
         "coverage_aer_pre": aer["coverage"],

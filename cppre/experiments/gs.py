@@ -112,6 +112,8 @@ def run_efit(psi_true=None, psi_pred=None, R=None, dr=None, dz=None,
 
     Without arguments, builds a synthetic Solov'ev ensemble with
     surrogate-like perturbed predictions."""
+    if psi_true is not None and (R is None or dr is None or dz is None):
+        raise ValueError("run_efit with explicit psi arrays requires R, dr, dz")
     if psi_true is None:
         R, Z, _, psi = solovev_batch(400, 64, 64, seed=seed)
         dr, dz = float(R[1] - R[0]), float(Z[1] - Z[0])

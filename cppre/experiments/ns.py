@@ -70,27 +70,13 @@ def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
 def _bc_residual_cp(data, pre, out, cfg, verbose):
     import jax.numpy as jnp
 
-    from ..train.rollout import validation_AR
     from .base2d import _to_convops
     from .pipeline import marginal_coverage_sweep
 
-    T_in, T_out, step = cfg["T_in"], cfg["T_out"], cfg["Step"]
-    in_norm, out_norm = out["normalizers"]
-    dat = jnp.asarray(data, jnp.float32)
-    a_all = in_norm.encode(dat[..., :T_in])
-    u_all = out_norm.encode(dat[..., T_in : T_in + T_out])
-    n_train, n_cal = cfg.get("n_train", 0), cfg["n_cal"]
-    cal = slice(n_train, n_train + n_cal)
-    prd = slice(n_train + n_cal, None)
-    from ..models import FNO2d
-
-    model = FNO2d(T_in=T_in, step=step, modes1=cfg["Modes"], modes2=cfg["Modes"],
-                  num_vars=cfg["Variables"], width_time=cfg["Width_time"])
-    apply_fn = lambda x: model.apply(out["params"], x)
-    pred_cal, _, _ = validation_AR(apply_fn, a_all[cal], u_all[cal], step, T_out)
-    pred_prd, _, _ = validation_AR(apply_fn, a_all[prd], u_all[prd], step, T_out)
-    w_cal = _to_convops(out_norm.decode(pred_cal))[:, -1]   # vorticity channel
-    w_prd = _to_convops(out_norm.decode(pred_prd))[:, -1]
+    # reuse the rollouts run_2d_cp already computed on the same slices
+    _, out_norm = out["normalizers"]
+    w_cal = _to_convops(out_norm.decode(out["pred_cal"]))[:, -1]   # vorticity
+    w_prd = _to_convops(out_norm.decode(out["pred_pred"]))[:, -1]
     scores = jnp.abs(pre.periodic_bc_residual(w_cal))
     bc_pred = pre.periodic_bc_residual(w_prd)
     alphas, cov = marginal_coverage_sweep(scores, bc_pred, None)

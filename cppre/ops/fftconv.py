@@ -183,8 +183,13 @@ def _manual_spectral(
 
     if vector is not None:
         vec = jnp.asarray(vector)
-        while vec.ndim < field.ndim:
-            vec = vec[None]
+        if vec.ndim == field.ndim - 2:      # [*spatial] -> [1, 1, *spatial]
+            vec = vec[None, None]
+        elif vec.ndim == field.ndim - 1:    # [B, *spatial] -> [B, 1, *spatial]
+            vec = vec[:, None]
+        elif vec.ndim != field.ndim:
+            raise ValueError(
+                f"vector rank {vec.ndim} incompatible with field rank {field.ndim}")
         if pad:
             vec = jnp.pad(vec, [(0, 0)] * (vec.ndim - n) + [(p, p)] * n)
         kernel_fft = kernel_fft * jnp.fft.rfftn(vec.astype(jnp.float32), axes=axes)

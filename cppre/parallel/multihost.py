@@ -22,10 +22,16 @@ def initialize(coordinator_address: str | None = None,
     them explicitly for CPU/GPU multi-process runs."""
     if num_processes is not None and num_processes <= 1:
         return
+    explicit = coordinator_address is not None or process_id is not None
     try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
-    except (RuntimeError, ValueError):
-        pass  # already initialised
+    except RuntimeError as e:
+        # benign double-initialize only; anything else must surface
+        if "already" not in str(e).lower():
+            raise
+    except ValueError:
+        if explicit:
+            raise  # misconfiguration (bad address/process_id), not benign
 
 
 def global_mesh(dp: int | None = None, tp: int = 1, axis_names=("dp", "tp")):

@@ -31,6 +31,13 @@ def finetune_physics_informed(apply_fn, params, train_a, train_u, *,
                               seed: int = 0, verbose: bool = False):
     """loss_fn(pred, target) over FNO-layout tensors; target may be unused
     (pure PI). Returns fine-tuned params."""
+    if loss_on == "last" and step < 3:
+        # fno_chunk_residual crops the time axis by 1 per side: a last chunk
+        # of step < 3 frames leaves an empty axis -> jnp.mean = NaN, which
+        # would silently NaN the parameters.
+        raise ValueError(
+            f"loss_on='last' needs step >= 3 frames for the residual's time "
+            f"crop (got step={step}); use loss_on='full'")
     n_chunks = T_out // step
     steps_per_epoch = max(train_a.shape[0] // batch_size, 1)
     if optimizer == "LBFGS":

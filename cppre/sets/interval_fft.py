@@ -100,17 +100,20 @@ def propagate_through_deconvolution(centers, radii, multipliers):
     """
     import jax.numpy as jnp
 
-    c = jnp.asarray(centers, jnp.float64 if False else jnp.float32)
+    c = jnp.asarray(centers, jnp.float32)
     r = jnp.asarray(radii, c.dtype)
     C = jnp.asarray(multipliers)
     N = c.shape[0]
     out_centers = jnp.real(jnp.fft.ifft(jnp.fft.fft(c) * C))
 
+    # rad_k = 1/N * sum_j r_j * w[(k - j) mod N] where
+    # w[m] = sum_h |Re(C_h e^{2 pi i h m / N})| — the kernel depends only on
+    # the circular lag m, so the radius map is an O(N^2) circular
+    # correlation instead of a dense [N, N, N] twiddle tensor.
     h = jnp.arange(N)
-    # twiddle phase for (k - j): e^{2 pi i h (k - j) / N}
-    k_minus_j = (h[:, None] - h[None, :])  # [k, j]
-    phase = jnp.exp(2j * jnp.pi * h[None, None, :] * k_minus_j[:, :, None] / N)
-    # A[k, j, h] = Re(C_h * e^{2 pi i h (k-j)/N}); rad_k = 1/N sum_{j,h} r_j |A|
-    A = jnp.abs(jnp.real(C[None, None, :] * phase))
-    out_radii = jnp.einsum("j,kjh->k", r, A) / N
+    m = jnp.arange(N)
+    phase = jnp.exp(2j * jnp.pi * m[:, None] * h[None, :] / N)  # [m, h]
+    w = jnp.sum(jnp.abs(jnp.real(C[None, :] * phase)), axis=1)  # [m]
+    lag = (h[:, None] - h[None, :]) % N  # [k, j]
+    out_radii = (w[lag] @ r) / N
     return out_centers, out_radii

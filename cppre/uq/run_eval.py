@@ -93,9 +93,25 @@ def run(case: str = "Wave", config_path: str | None = None,
                                  lr=cfg["Learning Rate"], seed=seed)
         return _cache["base"]
 
+    def _maybe_load(model, uq):
+        """Load a named checkpoint from Runs: (the reference's pretrained
+        run-name registry, Eval.py:138-209) if present."""
+        name = run_names.get(uq)
+        if not name:
+            return None
+        import os
+
+        path = checkpoint_name(cfg.get("Model", "FNO"), cfg["Case"], name)
+        if not os.path.exists(path + ".ckpt"):
+            return None
+        template = model.init(jax.random.PRNGKey(0), tr_a[:1])
+        return load_checkpoint(path, template)
+
     def model_factory(uq: str):
         if uq in ("Deterministic", "AER", "PRE"):
-            return FNO2d(**kw), _base_params()
+            model = FNO2d(**kw)
+            loaded = _maybe_load(model, uq)
+            return model, (loaded if loaded is not None else _base_params())
         if uq == "Dropout":
             model = make_dropout_fno(**kw)
             p0 = model.init({"params": jax.random.PRNGKey(seed)}, tr_a[:1])

@@ -327,3 +327,29 @@ def test_vector_differentiate_matches_torch_reference():
     ours = np.asarray(D.differentiate(jnp.asarray(y)[None], vector=jnp.asarray(x)[None],
                                       correlation=True))[0]
     np.testing.assert_allclose(ours, ref, atol=1e-2, rtol=1e-4)
+
+
+def test_vector_differentiate_per_sample_batch():
+    """Regression: a batched per-sample `vector` must apply each sample's
+    own coefficients (previously sample 0's vector leaked to all samples)."""
+    import jax.numpy as jnp
+    from cppre.ops.convops import ConvOperator0d
+
+    x = np.linspace(0, np.pi, 64, dtype=np.float32)
+    y1 = np.sin(x).astype(np.float32)
+    y2 = np.cos(x).astype(np.float32)
+    v1 = x
+    v2 = 2.0 * x
+    D = ConvOperator0d(order=1)
+    batched = np.asarray(D.differentiate(
+        jnp.stack([jnp.asarray(y1), jnp.asarray(y2)]),
+        vector=jnp.stack([jnp.asarray(v1), jnp.asarray(v2)]),
+        correlation=True))
+    single_0 = np.asarray(D.differentiate(jnp.asarray(y1)[None],
+                                          vector=jnp.asarray(v1)[None],
+                                          correlation=True))[0]
+    single_1 = np.asarray(D.differentiate(jnp.asarray(y2)[None],
+                                          vector=jnp.asarray(v2)[None],
+                                          correlation=True))[0]
+    np.testing.assert_allclose(batched[0], single_0, atol=1e-4)
+    np.testing.assert_allclose(batched[1], single_1, atol=1e-4)
