@@ -107,8 +107,9 @@ def _bench_pallas_subprocess(q_xla: float, timeout_s: int = 420) -> float:
     import sys
 
     try:
+        dims = f"{N_CAL},{NT},{NX},{NY},{REPS},{INNER_ITERS}"
         out = subprocess.run(
-            [sys.executable, __file__, "--pallas-leg", repr(q_xla)],
+            [sys.executable, __file__, "--pallas-leg", repr(q_xla), dims],
             capture_output=True, text=True, timeout=timeout_s,
         )
         for line in out.stdout.splitlines():
@@ -225,6 +226,9 @@ if __name__ == "__main__":
     import sys
 
     if len(sys.argv) > 2 and sys.argv[1] == "--pallas-leg":
+        if len(sys.argv) > 3:  # dims forwarded by the parent process
+            N_CAL, NT, NX, NY, REPS, INNER_ITERS = (
+                int(v) for v in sys.argv[3].split(","))
         _pallas_leg(float(sys.argv[2]))
     else:
         main()
