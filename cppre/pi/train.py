@@ -47,6 +47,7 @@ def finetune_physics_informed(apply_fn, params, train_a, train_u, *,
     opt_state = tx.init(params)
 
     def rollout(p, xx):
+        @jax.checkpoint
         def body(carry, _):
             im = apply_fn(p, carry)
             carry = jnp.concatenate((carry[..., step:], im), axis=-1)

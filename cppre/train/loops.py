@@ -53,11 +53,16 @@ def _chunked_targets(yy, step: int, T_out: int):
     return jnp.moveaxis(y, -2, 0)
 
 
-def rollout_loss(apply_fn, params, xx, yy, step: int, T_out: int, loss_func):
+def rollout_loss(apply_fn, params, xx, yy, step: int, T_out: int, loss_func,
+                 remat: bool = True):
     """Sum over chunks of loss_func(im, y_chunk) along an AR rollout.
 
     Returns (total_chunk_loss, pred) — the reference's `loss` accumulator and
-    `pred` concatenation (training_utils.py:27-45).
+    `pred` concatenation (training_utils.py:27-45). With `remat` (default)
+    each scan step's activations are rematerialised in the backward pass, so
+    training memory is one rollout step instead of T_out/step of them —
+    without it the wave config (batch 20, 20 steps, width-32 FNO on 64^2)
+    needs ~25 GB of HBM and OOMs a single v5e chip.
     """
     ys = _chunked_targets(yy, step, T_out)
 
@@ -68,6 +73,8 @@ def rollout_loss(apply_fn, params, xx, yy, step: int, T_out: int, loss_func):
         xx = jnp.concatenate((xx[..., step:], im), axis=-1)
         return (xx, acc), im
 
+    if remat:
+        body = jax.checkpoint(body)
     (_, total), preds = lax.scan(body, (xx, 0.0), ys)
     preds = jnp.moveaxis(preds, 0, -2)
     pred = preds.reshape(preds.shape[:-2] + (ys.shape[0] * step,))

@@ -44,6 +44,7 @@ def make_mle_train_step(apply_fn, tx, step: int, T_out: int):
         ys = jnp.moveaxis(yy.reshape(yy.shape[:-1] + (n, step)), -2, 0)
 
         def loss_of(p):
+            @jax.checkpoint
             def body(carry, y):
                 x, acc = carry
                 out = apply_fn(p, x)
@@ -74,6 +75,7 @@ def make_bayesian_train_step(apply_fn, tx, step: int, T_out: int,
         keys = jax.random.split(key, n)
 
         def loss_of(p):
+            @jax.checkpoint
             def body(carry, inp):
                 y, k = inp
                 x, acc = carry
