@@ -131,22 +131,41 @@ def marginal_cp(res_out_cal, res_pred_cal, pred_residual, target_residual=None,
 
 def joint_cp(res_out_cal, res_pred_cal, pred_residual, target_residual=None,
              alphas=DEFAULT_ALPHAS, alpha: float = 0.1, mode: str = "aer+pre",
-             eps: float = 0.0):
+             eps: float = 0.0, holdout_modulation: bool = False):
     """Full joint-CP block (`Joint/Wave_Residuals_CP.py:219-312`).
 
     mode 'aer+pre': modulation over (res_out - res_pred); mode 'pre':
     modulation over res_pred alone (:279-290). `eps` is the caller-side
-    modulation guard (+1e-6 in MHD, `Joint/MHD_Residuals_CP.py:350`)."""
+    modulation guard (+1e-6 in MHD, `Joint/MHD_Residuals_CP.py:350`).
+
+    The reference estimates the modulation std from the SAME calibration
+    samples it scores, which breaks exchangeability and systematically
+    undercovers when residuals are noise-dominated (measured ~0.83 empirical
+    coverage at the 0.95 level on exchangeable synthetic residuals, vs 0.94
+    with a held-out split — see RESULTS.md). `holdout_modulation=True`
+    splits the calibration set in half: the first half estimates the
+    modulation, the second provides the scores, restoring the finite-sample
+    guarantee at the cost of half the effective n_cal."""
     res_pred_cal = jnp.asarray(res_pred_cal)
+    res_out_cal = jnp.asarray(res_out_cal) if res_out_cal is not None else None
+    if holdout_modulation:
+        n_half = res_pred_cal.shape[0] // 2
+        mod_out = res_out_cal[:n_half] if res_out_cal is not None else None
+        mod_pred = res_pred_cal[:n_half]
+        score_out = res_out_cal[n_half:] if res_out_cal is not None else None
+        score_pred = res_pred_cal[n_half:]
+    else:
+        mod_out = score_out = res_out_cal
+        mod_pred = score_pred = res_pred_cal
     if mode == "aer+pre":
-        mod = modulation_func(res_out_cal, res_pred_cal) + eps
-        scores = ncf_metric_joint(res_out_cal, res_pred_cal, mod)
+        mod = modulation_func(mod_out, mod_pred) + eps
+        scores = ncf_metric_joint(score_out, score_pred, mod)
         sweep = joint_coverage_sweep(scores, mod, pred_residual, target_residual, alphas)
         center = jnp.asarray(pred_residual)
         target = target_residual
     else:
-        mod = modulation_func(res_pred_cal, None) + eps
-        scores = ncf_metric_joint(res_pred_cal, None, mod)
+        mod = modulation_func(mod_pred, None) + eps
+        scores = ncf_metric_joint(score_pred, None, mod)
         sweep = joint_coverage_sweep(scores, mod, pred_residual, None, alphas)
         center = jnp.zeros_like(jnp.asarray(pred_residual))
         target = None

@@ -68,3 +68,25 @@ def test_joint_cp_modes_and_masks():
     assert out["modulation"].shape == rp.shape[1:]
     pre_out = joint_cp(roc, rpc, rp, mode="pre", eps=1e-6)
     assert pre_out["coverage"].shape == out["coverage"].shape
+
+
+def test_joint_cp_holdout_modulation_restores_guarantee():
+    """In-sample modulation (reference semantics) undercovers on
+    noise-dominated exchangeable residuals; holdout_modulation=True must
+    restore coverage >= 1 - alpha (within binomial noise)."""
+    rng = np.random.default_rng(0)
+    cells = (10, 24, 24)
+    scale = 0.5 + rng.random(cells).astype(np.float32)
+    draw = lambda n: (scale * rng.standard_normal((n,) + cells)).astype(np.float32)
+    covs_in, covs_h = [], []
+    for _ in range(4):
+        res_cal, res_prd = draw(160), draw(160)
+        zero = np.zeros_like(res_cal)
+        out_in = joint_cp(res_cal, zero, res_prd, np.zeros_like(res_prd),
+                          alphas=np.asarray([0.1]))
+        out_h = joint_cp(res_cal, zero, res_prd, np.zeros_like(res_prd),
+                         alphas=np.asarray([0.1]), holdout_modulation=True)
+        covs_in.append(float(out_in["coverage"][0]))
+        covs_h.append(float(out_h["coverage"][0]))
+    assert np.mean(covs_h) >= 0.86  # ~0.9 target with binomial slack
+    assert np.mean(covs_h) > np.mean(covs_in)  # holdout strictly helps here
