@@ -85,7 +85,12 @@ def make_sharded_train_step(apply_fn, tx, step: int, T_out: int, loss_func,
 
     def train_step(params, opt_state, xx, yy):
         def loss_of(p):
-            total, pred = rollout_loss(apply_fn, p, xx, yy, step, T_out, loss_func)
+            # remat=False: dp-sharding already divides per-chip activation
+            # memory, and jax.checkpoint inside a GSPMD-sharded scan trips an
+            # XLA CPU FFT layout RET_CHECK (fft_thunk.cc IsMonotonicWithDim0Major)
+            # on the virtual-device dry run.
+            total, pred = rollout_loss(apply_fn, p, xx, yy, step, T_out,
+                                       loss_func, remat=False)
             return total, pred
 
         (loss, pred), grads = jax.value_and_grad(loss_of, has_aux=True)(params)

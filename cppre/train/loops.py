@@ -81,13 +81,15 @@ def rollout_loss(apply_fn, params, xx, yy, step: int, T_out: int, loss_func,
     return total, pred
 
 
-def make_train_step(apply_fn, tx, step: int, T_out: int, loss_func):
+def make_train_step(apply_fn, tx, step: int, T_out: int, loss_func,
+                    remat: bool = True):
     """Build the jitted (params, opt_state, xx, yy) -> update function."""
 
     @jax.jit
     def train_step(params, opt_state, xx, yy):
         def loss_of(p):
-            total, pred = rollout_loss(apply_fn, p, xx, yy, step, T_out, loss_func)
+            total, pred = rollout_loss(apply_fn, p, xx, yy, step, T_out,
+                                       loss_func, remat=remat)
             return total, pred
 
         (loss, pred), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
