@@ -85,3 +85,18 @@ def test_mhd_batch_shapes():
     rho = np.asarray(out[0])
     assert rho.shape[0] == 2 and rho.shape[-1] == 32
     assert np.isfinite(rho).all()
+
+
+def test_ns_matches_taylor_green_decay():
+    """With bb = 0 the IC is a Taylor-Green vortex, whose exact NS solution
+    is the same profile decaying as exp(-8 pi^2 nu t) — an analytic
+    validation of the spectral solver."""
+    nu, L = 1e-3, 1.0
+    sim = NavierStokes2D(64, 0.0, 0.5, 1e-3, nu, L, store_every=100)
+    u, v, p, w, x, t, err = sim.solve(1.0, 0.0)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    for ti, tt in enumerate(t):
+        decay = np.exp(-8 * np.pi**2 * nu * tt)
+        u_exact = np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y) * decay
+        rel = np.abs(u[ti] - u_exact).max() / max(np.abs(u_exact).max(), 1e-9)
+        assert rel < 2e-3, (ti, rel)
