@@ -95,6 +95,22 @@ class Wave2D:
         fn = jax.vmap(lambda p: _wave_solve(p, self._grid(), self.Nt))
         return fn(jnp.asarray(params, dtype=jnp.float32))
 
+    def solve_from(self, u0):
+        """Integrate from an arbitrary at-rest initial field [Nx, Ny]
+        (e.g. analytic standing waves for solver validation)."""
+        u0 = jnp.asarray(u0, jnp.float32)
+        lap0 = _laplacian_fft(u0, self._k2)
+        u1 = u0 + 0.5 * (self.c * self.dt) ** 2 * lap0
+
+        def step(carry, _):
+            um1, u = carry
+            u_next = (2.0 * u - um1
+                      + (self.c * self.dt) ** 2 * _laplacian_fft(u, self._k2))
+            return (u, u_next), u_next
+
+        _, us = jax.lax.scan(step, (u0, u1), None, length=self.Nt - 2)
+        return np.asarray(jnp.concatenate((u0[None], u1[None], us), axis=0))
+
 
 def wave_solve_batch(params, Nx, x_min, x_max, tend, c):
     sim = Wave2D(Nx, x_min, x_max, tend, c)

@@ -100,3 +100,19 @@ def test_ns_matches_taylor_green_decay():
         u_exact = np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y) * decay
         rel = np.abs(u[ti] - u_exact).max() / max(np.abs(u_exact).max(), 1e-9)
         assert rel < 2e-3, (ti, rel)
+
+
+def test_wave_matches_analytic_standing_wave():
+    """A periodic standing wave sin(kx)sin(ky) at rest evolves exactly as
+    cos(c*sqrt(2)*k*t) * sin(kx)sin(ky) — analytic validation of the
+    spectral wave solver."""
+    sim = Wave2D(64, -1.0, 1.0, 1.0, 1.0)
+    k = 2 * np.pi  # one full period over the [-1, 1] box (periodic)
+    X, Y = np.meshgrid(sim.x, sim.y, indexing="ij")
+    u0 = np.sin(k * X) * np.sin(k * Y)
+    u = sim.solve_from(u0)
+    for ti in (0, 25, 50, 100):
+        t = sim.t[ti]
+        exact = np.cos(1.0 * np.sqrt(2) * k * t) * u0
+        err = np.abs(u[ti] - exact).max()
+        assert err < 5e-3, (ti, err)
