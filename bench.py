@@ -223,7 +223,17 @@ def main():
 
 
 if __name__ == "__main__":
+    import signal
     import sys
+
+    # Global watchdog: if the TPU tunnel hangs mid-run (it periodically
+    # does), fail loudly instead of stalling the driver forever.
+    def _alarm(signum, frame):
+        print("bench: watchdog expired — TPU tunnel unresponsive", file=sys.stderr)
+        sys.exit(1)
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(2400)
 
     if len(sys.argv) > 2 and sys.argv[1] == "--pallas-leg":
         if len(sys.argv) > 3:  # dims forwarded by the parent process
