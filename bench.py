@@ -99,18 +99,33 @@ def bench_jax(fields, pred):
     return min(t_xla, _bench_pallas_subprocess(q_xla)) / INNER_ITERS
 
 
-def _bench_pallas_subprocess(q_xla: float, timeout_s: int = 420) -> float:
+PALLAS_TIMEOUT_S = 360  # strictly below any caller's own timeout (tests: 420)
+
+
+def _bench_pallas_subprocess(q_xla: float, timeout_s: int | None = None) -> float:
     """Time the Pallas pipeline in a subprocess with a hard timeout: the
     remote-compile path for Pallas kernels can hang when the TPU tunnel is
-    degraded, and the bench must never hang the driver."""
+    degraded, and the bench must never hang the driver.
+
+    The child inherits the parent's RESOLVED platform: a CPU-mode bench run
+    (tests) must never send the child to the TPU tunnel."""
+    import os
     import subprocess
     import sys
 
+    import jax
+
+    if timeout_s is None:
+        timeout_s = PALLAS_TIMEOUT_S
+    env = dict(os.environ)
+    env["CPPRE_BENCH_PLATFORM"] = jax.default_backend()
+    if env["CPPRE_BENCH_PLATFORM"] == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
     try:
         dims = f"{N_CAL},{NT},{NX},{NY},{REPS},{INNER_ITERS}"
         out = subprocess.run(
             [sys.executable, __file__, "--pallas-leg", repr(q_xla), dims],
-            capture_output=True, text=True, timeout=timeout_s,
+            capture_output=True, text=True, timeout=timeout_s, env=env,
         )
         for line in out.stdout.splitlines():
             if line.startswith("PALLAS_T="):
@@ -126,7 +141,17 @@ def _bench_pallas_subprocess(q_xla: float, timeout_s: int = 420) -> float:
 
 
 def _pallas_leg(q_xla: float):
+    import os
+
     import jax
+
+    # honour the platform the parent resolved (env vars are too late in this
+    # environment: sitecustomize imports jax at startup pointed at the
+    # remote TPU, so the override must go through jax.config post-import)
+    platform = os.environ.get("CPPRE_BENCH_PLATFORM")
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from cppre.cp.inductive import calibrate, modulation_func, ncf_metric_joint

@@ -95,11 +95,21 @@ def run_2d_cp(
     res_pred = residual_fn(_to_convops(out_norm.decode(pred_pred)))
     res_out_pred = residual_fn(_to_convops(out_norm.decode(u_enc[pred_sl])))
 
-    cp_fn = joint_cp if mode == "joint" else marginal_cp
-    aer = cp_fn(res_out_cal, res_pred_cal, res_pred, res_out_pred, eps=eps) \
-        if mode == "joint" else cp_fn(res_out_cal, res_pred_cal, res_pred, res_out_pred)
-    pre_only = cp_fn(res_out_cal, res_pred_cal, res_pred, mode="pre", eps=eps) \
-        if mode == "joint" else cp_fn(res_out_cal, res_pred_cal, res_pred, mode="pre")
+    if mode == "joint":
+        aer = joint_cp(res_out_cal, res_pred_cal, res_pred, res_out_pred, eps=eps)
+        pre_only = joint_cp(res_out_cal, res_pred_cal, res_pred, mode="pre", eps=eps)
+        # corrected estimator alongside the reference-semantics one: the
+        # reference's in-sample modulation breaks exchangeability
+        # (`Joint/Wave_Residuals_CP.py:219-220`); the holdout split restores
+        # the finite-sample guarantee (see pipeline.joint_cp docstring).
+        aer_h = joint_cp(res_out_cal, res_pred_cal, res_pred, res_out_pred,
+                         eps=eps, holdout_modulation=True)
+        pre_h = joint_cp(res_out_cal, res_pred_cal, res_pred, mode="pre",
+                         eps=eps, holdout_modulation=True)
+    else:
+        aer = marginal_cp(res_out_cal, res_pred_cal, res_pred, res_out_pred)
+        pre_only = marginal_cp(res_out_cal, res_pred_cal, res_pred, mode="pre")
+        aer_h = pre_h = None
 
     results = {
         "config": cfg, "mode": mode, "params": params, "apply_fn": apply_fn,
@@ -108,6 +118,8 @@ def run_2d_cp(
         "alphas": aer["alphas"],
         "coverage_aer_pre": aer["coverage"],
         "coverage_pre": pre_only["coverage"],
+        "coverage_aer_pre_holdout": aer_h["coverage"] if aer_h else None,
+        "coverage_pre_holdout": pre_h["coverage"] if pre_h else None,
         "qhat": np.asarray(aer["qhat"]),
         "filter_mask": np.asarray(pre_only["filter_mask"])
         if pre_only.get("filter_mask") is not None else None,

@@ -74,23 +74,30 @@ def sharded_calibrate(scores, alpha: float, mesh: Mesh):
 
 
 def make_sharded_train_step(apply_fn, tx, step: int, T_out: int, loss_func,
-                            mesh: Mesh, param_shardings=None):
+                            mesh: Mesh, param_shardings=None,
+                            remat: bool | None = None):
     """jit train step with batch dp-sharded inputs and (optionally)
-    tp-sharded params. Identical math to `train.loops.make_train_step`."""
+    tp-sharded params. Identical math to `train.loops.make_train_step`.
+
+    remat=None resolves per-platform: rematerialisation stays ON for real
+    TPU meshes (the wave config OOMs single-chip without it) but is disabled
+    on the CPU backend, where jax.checkpoint inside a GSPMD-sharded scan
+    trips an XLA CPU FFT layout RET_CHECK (fft_thunk.cc
+    IsMonotonicWithDim0Major) on the virtual-device dry run."""
     import optax
 
     from ..train.loops import rollout_loss
+
+    if remat is None:
+        platforms = {d.platform for d in mesh.devices.flat}
+        remat = "cpu" not in platforms
 
     batch_sharding = NamedSharding(mesh, P("dp"))
 
     def train_step(params, opt_state, xx, yy):
         def loss_of(p):
-            # remat=False: dp-sharding already divides per-chip activation
-            # memory, and jax.checkpoint inside a GSPMD-sharded scan trips an
-            # XLA CPU FFT layout RET_CHECK (fft_thunk.cc IsMonotonicWithDim0Major)
-            # on the virtual-device dry run.
             total, pred = rollout_loss(apply_fn, p, xx, yy, step, T_out,
-                                       loss_func, remat=False)
+                                       loss_func, remat=remat)
             return total, pred
 
         (loss, pred), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
