@@ -145,4 +145,7 @@ def run(mode: str = "marginal", config: dict | None = None, seed: int = 0,
 if __name__ == "__main__":
     import sys
 
-    run(sys.argv[1] if len(sys.argv) > 1 else "marginal")
+    out = run(sys.argv[1] if len(sys.argv) > 1 else "marginal")
+    from ..utils.plot_tools import save_experiment_artifacts
+
+    save_experiment_artifacts(out, "Plots", "Advection")

@@ -44,6 +44,7 @@ def run_2d_cp(
     seed: int = 0,
     eps: float = 0.0,
     verbose: bool = True,
+    return_residuals: bool = False,
 ):
     T_in, T_out, step = cfg["T_in"], cfg["T_out"], cfg["Step"]
     n_train, n_cal = cfg.get("n_train", 0), cfg["n_cal"]
@@ -125,6 +126,14 @@ def run_2d_cp(
         if pre_only.get("filter_mask") is not None else None,
         "normalizers": (in_norm, out_norm),
     }
+    if return_residuals:  # device arrays, for caller-side diagnostics
+        results.update(res_out_cal=res_out_cal, res_pred_cal=res_pred_cal,
+                       res_pred=res_pred, res_out_pred=res_out_pred)
+    if cfg.get("plots_dir"):  # reference experiments save figures to Plots/
+        from ..utils.plot_tools import save_experiment_artifacts
+
+        save_experiment_artifacts(results, cfg["plots_dir"],
+                                  cfg.get("Case", "experiment"))
     if verbose:
         for a, c1, c2 in zip(results["alphas"], results["coverage_aer_pre"],
                              results["coverage_pre"]):

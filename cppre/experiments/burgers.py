@@ -97,4 +97,7 @@ def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
 if __name__ == "__main__":
     import sys
 
-    run(sys.argv[1] if len(sys.argv) > 1 else "joint")
+    out = run(sys.argv[1] if len(sys.argv) > 1 else "joint")
+    from ..utils.plot_tools import save_experiment_artifacts
+
+    save_experiment_artifacts(out, "Plots", "Burgers")

@@ -93,4 +93,5 @@ if __name__ == "__main__":
     import sys
 
     run(sys.argv[1] if len(sys.argv) > 1 else "joint",
-        sys.argv[2] if len(sys.argv) > 2 else None)
+        sys.argv[2] if len(sys.argv) > 2 else None,
+        config={"plots_dir": "Plots"})

@@ -47,14 +47,22 @@ def gen_data(cfg: dict, n: int, seed: int = 0):
 
 
 def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
-        params=None, verbose: bool = True):
+        params=None, verbose: bool = True, **cp_kwargs):
     cfg = dict(CONFIG, **(config or {}))
     n_total = cfg["n_train"] + cfg["n_cal"] + cfg["n_pred"]
     data, dt_eff, dx = gen_data(cfg, n_total, seed)
     pre = PRE_MHD(dt_eff, dx, dx)
-    res = lambda fields: pre.residual(fields, equation=cfg["equation"])
+    if cfg["equation"] == "induction":
+        # fused Pallas path on TPU (one VMEM pass over the 6-field block);
+        # identical XLA math off-TPU — parity in tests/test_pallas_kernels.py
+        from ..ops.pallas import mhd_induction_residual_fused
+
+        res = mhd_induction_residual_fused
+    else:
+        res = lambda fields: pre.residual(fields, equation=cfg["equation"])
     return run_2d_cp(data=data, residual_fn=res, cfg=cfg, mode=mode,
-                     params=params, seed=seed, eps=1e-6, verbose=verbose)
+                     params=params, seed=seed, eps=1e-6, verbose=verbose,
+                     **cp_kwargs)
 
 
 if __name__ == "__main__":
@@ -62,4 +70,4 @@ if __name__ == "__main__":
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "joint"
     eq = {"equation": sys.argv[2]} if len(sys.argv) > 2 else None
-    run(mode, config=eq)
+    run(mode, config=dict(eq or {}, plots_dir="Plots"))

@@ -89,4 +89,5 @@ def _bc_residual_cp(data, pre, out, cfg, verbose):
 if __name__ == "__main__":
     import sys
 
-    run(sys.argv[1] if len(sys.argv) > 1 else "joint")
+    run(sys.argv[1] if len(sys.argv) > 1 else "joint",
+        config={"plots_dir": "Plots"})

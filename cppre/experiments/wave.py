@@ -44,20 +44,24 @@ def gen_data(cfg: dict, n: int, seed: int = 0):
 
 
 def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
-        params=None, verbose: bool = True):
+        params=None, verbose: bool = True, **cp_kwargs):
     cfg = dict(CONFIG, **(config or {}))
     n_total = cfg["n_train"] + cfg["n_cal"] + cfg["n_pred"]
     data, dt_eff, dx = gen_data(cfg, n_total, seed)
     pre = PRE_Wave(dt_eff, dx, c=cfg["c"])
-    residual_fn = lambda fields: pre(fields[:, 0])
+    # fused Pallas composite-kernel path on TPU; identical XLA math off-TPU
+    from ..ops.pallas import wave_residual_fused
+
+    residual_fn = lambda fields: wave_residual_fused(fields[:, 0], pre.D.kernel)
     return run_2d_cp(data=data, residual_fn=residual_fn, cfg=cfg, mode=mode,
-                     params=params, seed=seed, verbose=verbose)
+                     params=params, seed=seed, verbose=verbose, **cp_kwargs)
 
 
 if __name__ == "__main__":
     import sys
 
-    run(sys.argv[1] if len(sys.argv) > 1 else "joint")
+    run(sys.argv[1] if len(sys.argv) > 1 else "joint",
+        config={"plots_dir": "Plots"})
 
 
 def discretisation_sweep(data, params, discs=(1, 2, 4), config: dict | None = None,

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fft_conv", "spectral_differentiate", "spectral_integrate"]
+__all__ = ["fft_conv", "spectral_differentiate", "spectral_integrate",
+           "FFTConv", "FFTConv1d", "FFTConv2d", "FFTConv3d"]
 
 IntOrTuple = Union[int, float, Sequence[Union[int, float]]]
 
@@ -72,13 +73,20 @@ def fft_conv(
     padding_mode: str = "constant",
     stride: IntOrTuple = 1,
     dilation: IntOrTuple = 1,
+    groups: int = 1,
     inverse: bool = False,
     eps: float = 1e-6,
 ) -> jnp.ndarray:
     """N-d FFT cross-correlation of `signal` [B, C_in, *spatial] with
-    `kernel` [C_out, C_in, *k_spatial]; `inverse=True` deconvolves instead.
+    `kernel` [C_out, C_in/groups, *k_spatial]; `inverse=True` deconvolves.
 
     Matches reference `fft_conv` (fft_conv.py:35-131) for groups == 1.
+    Documented deviation: the reference's vendored copy ACCEPTS a `groups`
+    argument but silently ignores it — its spectrum multiply is elementwise
+    (`fft_conv.py:115`), having dropped the upstream fkodom grouped matmul
+    (its callers only pass [1, 1, *k] kernels). Here `groups` implements the
+    upstream/`F.convNd` semantics: channels split into `groups` blocks, each
+    output block contracting only its input block.
     """
     n = signal.ndim - 2
     stride_ = _ntuple(stride, n)
@@ -115,13 +123,25 @@ def fft_conv(
         kernel_fr = 1.0 / (kernel_fr + eps)
 
     # C_out contraction: [B, 1, C_in, ...] * [1, C_out, C_in, ...] summed over C_in.
-    c_out = kernel.shape[0]
-    if c_out == 1 and kernel.shape[1] == 1:
+    c_out, c_in_pg = kernel.shape[0], kernel.shape[1]
+    if groups == 1 and c_out == 1 and c_in_pg == 1:
         output_fr = signal_fr * kernel_fr[:, 0]
-    else:
+    elif groups == 1:
         output_fr = jnp.sum(
             signal_fr[:, None] * kernel_fr[None], axis=2
         )  # [B, C_out, *freq]
+    else:
+        c_in = signal_fr.shape[1]
+        if c_in % groups or c_out % groups or c_in // groups != c_in_pg:
+            raise ValueError(
+                f"groups={groups} incompatible with C_in={c_in}, "
+                f"kernel {kernel.shape[:2]}")
+        freq = signal_fr.shape[2:]
+        sf = signal_fr.reshape((signal_fr.shape[0], groups, c_in_pg) + freq)
+        kf = kernel_fr.reshape((groups, c_out // groups, c_in_pg) + freq)
+        # [B, g, 1, cpg, ...] * [1, g, opg, cpg, ...] summed over cpg
+        output_fr = jnp.sum(sf[:, :, None] * kf[None], axis=3)
+        output_fr = output_fr.reshape((signal_fr.shape[0], c_out) + freq)
     output = jnp.fft.irfftn(output_fr, axes=axes)
 
     crop = tuple(
@@ -218,3 +238,50 @@ def spectral_differentiate(field, kernel, correlation=False, slice_pad=True, vec
 def spectral_integrate(field, kernel, correlation=False, slice_pad=False, eps=1e-6, pad=True):
     """FFT deconvolution: recover u from D(u) (reference ConvOps_*.integrate)."""
     return _manual_spectral(field, kernel, correlation, slice_pad, inverse=True, eps=eps, pad=pad)
+
+
+class FFTConv:
+    """Learnable FFT-convolution layer (reference `_FFTConv`,
+    `fft_conv.py:134-206`; `FFTConv1d/2d/3d = partial(_FFTConv, ndim=...)`
+    :209-211). Stateless-functional rather than nn.Module: `init(key)`
+    returns the param pytree (weight ~ N(0,1) like the reference's
+    `torch.randn`, optional bias), `apply(params, signal)` runs `fft_conv`.
+    jit/vmap/grad-transparent like the rest of the library."""
+
+    def __init__(self, in_channels: int, out_channels: int,
+                 kernel_size: IntOrTuple, padding: IntOrTuple | str = 0,
+                 padding_mode: str = "constant", stride: IntOrTuple = 1,
+                 dilation: IntOrTuple = 1, groups: int = 1, bias: bool = True,
+                 ndim: int = 1, inverse: bool = False):
+        if in_channels % groups:
+            raise ValueError("'in_channels' must be divisible by 'groups'. "
+                             f"Found: in_channels={in_channels}, groups={groups}.")
+        if out_channels % groups:
+            raise ValueError("'out_channels' must be divisible by 'groups'. "
+                             f"Found: out_channels={out_channels}, groups={groups}.")
+        self.in_channels, self.out_channels = in_channels, out_channels
+        self.kernel_size = _ntuple(kernel_size, ndim)
+        self.padding, self.padding_mode = padding, padding_mode
+        self.stride, self.dilation, self.groups = stride, dilation, groups
+        self.use_bias, self.ndim, self.inverse = bias, ndim, inverse
+
+    def init(self, key) -> dict:
+        k_w, k_b = jax.random.split(jax.random.PRNGKey(key) if isinstance(key, int) else key)
+        shape = (self.out_channels, self.in_channels // self.groups) + self.kernel_size
+        params = {"weight": jax.random.normal(k_w, shape, jnp.float32)}
+        if self.use_bias:
+            params["bias"] = jax.random.normal(k_b, (self.out_channels,), jnp.float32)
+        return params
+
+    def apply(self, params: dict, signal: jnp.ndarray) -> jnp.ndarray:
+        return fft_conv(signal, params["weight"], bias=params.get("bias"),
+                        padding=self.padding, padding_mode=self.padding_mode,
+                        stride=self.stride, dilation=self.dilation,
+                        groups=self.groups, inverse=self.inverse)
+
+    __call__ = apply
+
+
+FFTConv1d = partial(FFTConv, ndim=1)
+FFTConv2d = partial(FFTConv, ndim=2)
+FFTConv3d = partial(FFTConv, ndim=3)

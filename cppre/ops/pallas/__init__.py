@@ -8,6 +8,22 @@ stencil taps as register shifts, emit the interior-cropped result (and
 optionally |.| for nonconformity scores) without intermediate HBM writes.
 """
 
-from .stencil_kernels import fused_stencil_residual, ns_momentum_residual_fused
+from .stencil_kernels import (
+    fused_stencil_residual,
+    mhd_induction_joint_cp_scores_fused,
+    mhd_induction_residual_fused,
+    ns_joint_cp_scores_fused,
+    ns_momentum_residual_fused,
+    wave_joint_cp_scores_fused,
+    wave_residual_fused,
+)
 
-__all__ = ["fused_stencil_residual", "ns_momentum_residual_fused"]
+__all__ = [
+    "fused_stencil_residual",
+    "mhd_induction_joint_cp_scores_fused",
+    "mhd_induction_residual_fused",
+    "ns_joint_cp_scores_fused",
+    "ns_momentum_residual_fused",
+    "wave_joint_cp_scores_fused",
+    "wave_residual_fused",
+]

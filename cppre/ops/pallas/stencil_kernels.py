@@ -31,7 +31,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fused_stencil_residual", "ns_momentum_residual_fused"]
+__all__ = [
+    "fused_stencil_residual",
+    "ns_momentum_residual_fused",
+    "mhd_induction_residual_fused",
+    "ns_joint_cp_scores_fused",
+    "mhd_induction_joint_cp_scores_fused",
+    "wave_joint_cp_scores_fused",
+    "wave_residual_fused",
+]
 
 
 def _on_tpu() -> bool:
@@ -152,32 +160,40 @@ def _ns_momentum_math(u, v, p, nt, nx, ny, dt, dx, dy, nu):
     return res_x + res_y
 
 
-def ns_momentum_residual_fused(fields, dt: float, dx: float, dy: float,
-                               nu: float = 0.001, interpret: bool | None = None):
-    """Fused NS momentum PRE: fields [BS, 3, Nt, Nx, Ny] (u, v, p) ->
-    interior residual [BS, Nt-2, Nx-2, Ny-2]. Matches
-    `PRE_NS.residual_momentum(..., boundary=False)` exactly (the SAME-pad
-    halo is discarded by the crop, so only valid points are computed)."""
+def _mhd_induction_math(f, nt, nx, ny):
+    """Ideal-MHD induction residual (`Joint/MHD_Residuals_CP.py:259-267`,
+    rebuilt in `residuals/mhd.py::residual_induction`) on the interior
+    window. f: [6, nt, nx, ny] block ordered (rho, u, v, p, Bx, By); rho
+    and p are untouched (loading them costs 2 extra field reads, cheaper
+    than materialising a gathered 4-field copy in HBM)."""
+    u, v, Bx, By = f[1], f[2], f[4], f[5]
+    I = lambda a: _interior(a, nt, nx, ny)
+    d_t = lambda a: _d_t(a, nt, nx, ny)
+    d_x = lambda a: _d_x(a, nt, nx, ny)
+    d_y = lambda a: _d_y(a, nt, nx, ny)
+    res_x = d_t(Bx) - I(By) * d_y(u) + I(Bx) * d_y(v) - I(v) * d_y(Bx) + I(u) * d_y(By)
+    res_y = d_t(By) + I(By) * d_x(u) - I(Bx) * d_x(v) - I(v) * d_x(Bx) + I(u) * d_x(By)
+    return res_x + res_y
+
+
+def _batched_residual_fused(fields, math_fn, interpret: bool | None):
+    """Grid-over-batch pallas_call: one whole-trajectory block per program,
+    `math_fn([nvar, nt, nx, ny]) -> [nt-2, nx-2, ny-2]` interior residual.
+    Off-TPU (or interpret=None off-device) falls back to vmapped XLA — the
+    same math, so parity is by construction."""
     bs, nvar, nt, nx, ny = fields.shape
-    assert nvar >= 3
     out_shape = (nt - 2, nx - 2, ny - 2)
 
     if interpret is None:
         if not _on_tpu():
-            u, v, p = fields[:, 0], fields[:, 1], fields[:, 2]
-            return jax.vmap(
-                lambda uu, vv, pp: _ns_momentum_math(uu, vv, pp, nt, nx, ny, dt, dx, dy, nu)
-            )(u, v, p)
+            return jax.vmap(math_fn)(fields)
         interpret = False
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel_fn(in_ref, out_ref):
-        u = in_ref[0, 0]
-        v = in_ref[0, 1]
-        p = in_ref[0, 2]
-        out_ref[0] = _ns_momentum_math(u, v, p, nt, nx, ny, dt, dx, dy, nu)
+        out_ref[0] = math_fn(in_ref[0])
 
     return pl.pallas_call(
         kernel_fn,
@@ -191,16 +207,50 @@ def ns_momentum_residual_fused(fields, dt: float, dx: float, dy: float,
     )(fields)
 
 
+def ns_momentum_residual_fused(fields, dt: float, dx: float, dy: float,
+                               nu: float = 0.001, interpret: bool | None = None):
+    """Fused NS momentum PRE: fields [BS, 3, Nt, Nx, Ny] (u, v, p) ->
+    interior residual [BS, Nt-2, Nx-2, Ny-2]. Matches
+    `PRE_NS.residual_momentum(..., boundary=False)` exactly (the SAME-pad
+    halo is discarded by the crop, so only valid points are computed)."""
+    bs, nvar, nt, nx, ny = fields.shape
+    assert nvar >= 3
+    return _batched_residual_fused(
+        fields,
+        lambda f: _ns_momentum_math(f[0], f[1], f[2], nt, nx, ny, dt, dx, dy, nu),
+        interpret)
+
+
+def mhd_induction_residual_fused(fields, interpret: bool | None = None):
+    """Fused ideal-MHD induction PRE: fields [BS, 6, Nt, Nx, Ny]
+    (rho, u, v, p, Bx, By) -> interior residual [BS, Nt-2, Nx-2, Ny-2].
+    Matches `PRE_MHD.residual_induction(..., boundary=False)` exactly."""
+    bs, nvar, nt, nx, ny = fields.shape
+    assert nvar >= 6
+    return _batched_residual_fused(
+        fields, lambda f: _mhd_induction_math(f, nt, nx, ny), interpret)
+
+
+def wave_residual_fused(field, kernel, interpret: bool | None = None):
+    """Fused wave composite-kernel PRE: field [BS, Nt, Nx, Ny], kernel the
+    additive D_tt - (c dt/dx)^2 D_xxyy stencil (`Joint/Wave_Residuals_CP.py:
+    170-184`). Thin alias of `fused_stencil_residual` so the wave pipeline
+    names its Pallas path explicitly."""
+    return fused_stencil_residual(field, kernel, interpret=interpret)
+
+
 # ---------------------------------------------------------------------------
 # fused joint-CP statistics: diff residual + cross-batch moments in one pass
 # ---------------------------------------------------------------------------
 
-def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
-                           nu: float = 0.001, interpret: bool | None = None):
+def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None):
     """One-pass joint-CP front end: reads the truth and prediction field
     tensors once, emits (diff_residual [BS, *out], sum [*out], sumsq [*out])
     where diff = PRE(truth) - PRE(pred) and the moment accumulators give the
     per-cell modulation std = sqrt(sumsq/N - (sum/N)^2).
+
+    `math_fn([nvar, nt, nx, ny]) -> [nt-2, nx-2, ny-2]` is the per-sample
+    residual (NS momentum, MHD induction, wave composite, ...).
 
     Exploits the TPU grid's SEQUENTIAL execution: the moment outputs map to
     the same block for every grid step, so programs accumulate across the
@@ -211,10 +261,8 @@ def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
     out_shape = (nt - 2, nx - 2, ny - 2)
 
     def _xla_path():
-        u, v, p = truth[:, 0], truth[:, 1], truth[:, 2]
-        up, vp, pp = prediction[:, 0], prediction[:, 1], prediction[:, 2]
-        f = lambda a, b_, c: _ns_momentum_math(a, b_, c, nt, nx, ny, dt, dx, dy, nu)
-        diff = jax.vmap(f)(u, v, p) - jax.vmap(f)(up, vp, pp)
+        f = jax.vmap(math_fn)
+        diff = f(truth) - f(prediction)
         return diff, jnp.sum(diff, axis=0), jnp.sum(diff**2, axis=0)
 
     # VMEM budget: two double-buffered input blocks + out + stats must fit
@@ -232,11 +280,7 @@ def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
 
     def kernel_fn(t_ref, p_ref, diff_ref, sum_ref, sumsq_ref):
         b = pl.program_id(0)
-        res_t = _ns_momentum_math(t_ref[0, 0], t_ref[0, 1], t_ref[0, 2],
-                                  nt, nx, ny, dt, dx, dy, nu)
-        res_p = _ns_momentum_math(p_ref[0, 0], p_ref[0, 1], p_ref[0, 2],
-                                  nt, nx, ny, dt, dx, dy, nu)
-        d = res_t - res_p
+        d = math_fn(t_ref[0]) - math_fn(p_ref[0])
         diff_ref[0] = d
 
         @pl.when(b == 0)
@@ -272,18 +316,60 @@ def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
     )(truth, prediction)
 
 
+def _scores_from_diff_stats(diff, s, sq, n: int, eps: float):
+    """modulation std from the one-pass moments, then the per-sample
+    sup-norm nonconformity score (modulation_func + ncf_metric_joint)."""
+    mean = s / n
+    mod = jnp.sqrt(jnp.maximum(sq / n - mean**2, 0.0)) + eps
+    return jnp.max(jnp.abs(diff) / mod, axis=tuple(range(1, diff.ndim)))
+
+
+def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
+                           nu: float = 0.001, interpret: bool | None = None):
+    """NS-momentum instance of `_joint_cp_diff_stats` (docstring there)."""
+    _, _, nt, nx, ny = truth.shape
+    math_fn = lambda f: _ns_momentum_math(f[0], f[1], f[2], nt, nx, ny,
+                                          dt, dx, dy, nu)
+    return _joint_cp_diff_stats(truth, prediction, math_fn, interpret)
+
+
 def ns_joint_cp_scores_fused(truth, prediction, dt: float, dx: float,
                              dy: float, nu: float = 0.001, eps: float = 1e-6,
                              interpret: bool | None = None):
     """Full joint-CP nonconformity scores in two fused passes:
     per-sample sup-norm of |diff| / (std(diff, axis=0) + eps).
     Matches modulation_func + ncf_metric_joint over the NS momentum PRE."""
-    n = truth.shape[0]
     diff, s, sq = ns_joint_cp_diff_stats(truth, prediction, dt, dx, dy, nu,
                                          interpret=interpret)
-    mean = s / n
-    mod = jnp.sqrt(jnp.maximum(sq / n - mean**2, 0.0)) + eps
-    return jnp.max(jnp.abs(diff) / mod, axis=tuple(range(1, diff.ndim)))
+    return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
+
+
+def mhd_induction_joint_cp_scores_fused(truth, prediction, eps: float = 1e-6,
+                                        interpret: bool | None = None):
+    """Joint-CP nonconformity scores over the MHD induction PRE, one fused
+    read of each 6-field tensor (reference flow `Joint/MHD_Residuals_CP.py:
+    349-352`: modulation_func(+1e-6 guard) + ncf_metric_joint)."""
+    _, _, nt, nx, ny = truth.shape
+    math_fn = lambda f: _mhd_induction_math(f, nt, nx, ny)
+    diff, s, sq = _joint_cp_diff_stats(truth, prediction, math_fn, interpret)
+    return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
+
+
+def wave_joint_cp_scores_fused(truth, prediction, kernel, eps: float = 1e-6,
+                               interpret: bool | None = None):
+    """Joint-CP nonconformity scores over the wave composite-kernel PRE
+    (`Joint/Wave_Residuals_CP.py:219-220`). truth/prediction
+    [BS, Nt, Nx, Ny] single-variable trajectories; kernel the additive
+    D_tt - (c dt/dx)^2 D_xxyy stencil."""
+    taps = _taps(kernel)
+    _, nt, nx, ny = truth.shape
+    k = np.asarray(kernel).shape[0]
+    assert k == 3, "joint-CP fusion assumes the reference's 3x3x3 stencils"
+    out_shape = (nt - k + 1, nx - k + 1, ny - k + 1)
+    math_fn = lambda f: _valid_shift_add(f[0], taps, out_shape)
+    diff, s, sq = _joint_cp_diff_stats(truth[:, None], prediction[:, None],
+                                       math_fn, interpret)
+    return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
 
 
 def ns_joint_cp_diff_stats_chunked(truth, prediction, dt: float, dx: float,
@@ -402,10 +488,10 @@ def ns_joint_cp_diff_stats_chunked(truth, prediction, dt: float, dx: float,
             jax.ShapeDtypeStruct(out_shape, truth.dtype),
         ),
         grid=(bs,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(out_shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(out_shape, lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
         ),

@@ -12,7 +12,11 @@ over ICI driven by `jax.sharding`:
   parallel matmul with an all-reduce XLA inserts automatically.
 * **sp** — for fields too large per chip, `halo.stencil_conv_sharded` runs
   the stencil with a shard_map halo exchange (collective permute of k//2
-  ghost cells) instead of gathering the field.
+  ghost cells) instead of gathering the field; `halo.stencil_conv_sharded_2d`
+  decomposes both spatial axes (square reference grids), and
+  `spectral.fft2_sharded`/`ifft2_sharded` distribute the 2-D FFT itself
+  (local 1-D FFTs + one all_to_all transpose each way) for the spectral
+  solvers/convolutions at large N.
 """
 
 from .sharding import (
@@ -22,7 +26,8 @@ from .sharding import (
     sharded_calibrate,
     make_sharded_train_step,
 )
-from .halo import stencil_conv_sharded
+from .halo import stencil_conv_sharded, stencil_conv_sharded_2d
+from .spectral import fft2_sharded, ifft2_sharded, spectral_circular_conv_sharded
 from .multihost import initialize, global_mesh
 
 __all__ = [
@@ -32,6 +37,10 @@ __all__ = [
     "sharded_calibrate",
     "make_sharded_train_step",
     "stencil_conv_sharded",
+    "stencil_conv_sharded_2d",
+    "fft2_sharded",
+    "ifft2_sharded",
+    "spectral_circular_conv_sharded",
     "initialize",
     "global_mesh",
 ]

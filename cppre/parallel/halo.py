@@ -21,7 +21,7 @@ from jax.experimental.shard_map import shard_map
 
 from ..ops.convops import stencil_shift_add
 
-__all__ = ["stencil_conv_sharded"]
+__all__ = ["stencil_conv_sharded", "stencil_conv_sharded_2d"]
 
 
 def stencil_conv_sharded(field, kernel: np.ndarray, mesh: Mesh,
@@ -61,6 +61,68 @@ def stencil_conv_sharded(field, kernel: np.ndarray, mesh: Mesh,
         for d in range(nd):
             full_ax = jnp.ndim(block) - nd + d
             if full_ax != ax:
+                pads[full_ax] = (kernel.shape[d] // 2, kernel.shape[d] // 2)
+        ext = jnp.pad(ext, pads)
+        return stencil_shift_add(ext, kernel, same=False)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return fn(jnp.asarray(field))
+
+
+def _exchange_axis(block, halo: int, ax: int, axis_name: str, n_shards: int):
+    """Extend `block` along `ax` with halo slabs from the two ring
+    neighbours over `axis_name`; global edges get zeros (SAME zero-pad)."""
+    idx = lax.axis_index(axis_name)
+    size = block.shape[ax]
+    lo = lax.slice_in_dim(block, 0, halo, axis=ax)
+    hi = lax.slice_in_dim(block, size - halo, size, axis=ax)
+    left_ghost = lax.ppermute(hi, axis_name,
+                              [(i, (i + 1) % n_shards) for i in range(n_shards)])
+    right_ghost = lax.ppermute(lo, axis_name,
+                               [(i, (i - 1) % n_shards) for i in range(n_shards)])
+    left_ghost = jnp.where(idx == 0, jnp.zeros_like(left_ghost), left_ghost)
+    right_ghost = jnp.where(idx == n_shards - 1,
+                            jnp.zeros_like(right_ghost), right_ghost)
+    return jnp.concatenate([left_ghost, block, right_ghost], axis=ax)
+
+
+def stencil_conv_sharded_2d(field, kernel: np.ndarray, mesh: Mesh,
+                            axes: tuple[str, str] = ("spx", "spy"),
+                            spatial_axes: tuple[int, int] = (-2, -1)):
+    """(x, y) 2-D spatial decomposition of the halo-exchange stencil conv:
+    both trailing spatial axes sharded over their own mesh axis, matching
+    the square NS/MHD reference grids (`Joint/NS_Residuals_CP.py:77`).
+
+    Exchanging x halos FIRST and then exchanging y halos OF THE X-EXTENDED
+    block forwards the corner ghosts for free (the y slabs already carry the
+    neighbours' x ghosts), so dense k x k stencils with diagonal taps are
+    exact. Bitwise-equal to single-device `direct_conv(field, kernel)`.
+    """
+    kernel = np.asarray(kernel)
+    nd = kernel.ndim
+    ndim = jnp.ndim(field)
+    ax_x = spatial_axes[0] % ndim
+    ax_y = spatial_axes[1] % ndim
+    # kernel dims align to the LAST nd field axes
+    kdim_x = nd - (ndim - ax_x)
+    kdim_y = nd - (ndim - ax_y)
+    halo_x = kernel.shape[kdim_x] // 2
+    halo_y = kernel.shape[kdim_y] // 2
+    nx_shards = mesh.shape[axes[0]]
+    ny_shards = mesh.shape[axes[1]]
+
+    in_spec = [None] * ndim
+    in_spec[ax_x], in_spec[ax_y] = axes[0], axes[1]
+    spec = P(*in_spec)
+
+    def local(block):
+        ext = _exchange_axis(block, halo_x, ax_x, axes[0], nx_shards)
+        ext = _exchange_axis(ext, halo_y, ax_y, axes[1], ny_shards)
+        # SAME-pad the remaining kernel dims (e.g. time) locally
+        pads = [(0, 0)] * ndim
+        for d in range(nd):
+            full_ax = ndim - nd + d
+            if full_ax not in (ax_x, ax_y):
                 pads[full_ax] = (kernel.shape[d] // 2, kernel.shape[d] // 2)
         ext = jnp.pad(ext, pads)
         return stencil_shift_add(ext, kernel, same=False)

@@ -42,24 +42,47 @@ def shard_batch(x, mesh: Mesh, axis: str = "dp"):
     return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
 
 
-def fno_param_shardings(params, mesh: Mesh, axis: str = "tp"):
-    """Tensor-parallel layout for FNO params: spectral weights
-    [in, out, var, modes...] and Dense kernels [in, out] shard the OUT
-    channel over `axis`; everything else is replicated. XLA then runs the
-    channel contraction as a sharded matmul (all-gather/reduce on ICI)."""
+def fno_param_shardings(params, mesh: Mesh, axis: str = "tp",
+                        overrides: dict | None = None, report: bool = False):
+    """Tensor-parallel layout for FNO params.
 
+    Structural rule (not a name heuristic): every cppre model stores its
+    OUT channel at dim 1 — flax Dense kernels are [in, out] and the
+    split-complex spectral weights are [in, out, var, modes...]
+    (`models/fno.py`); biases and scalars are 1-D/0-D. So any leaf with
+    ndim >= 2 whose dim 1 divides the mesh axis shards dim 1 over `axis`;
+    everything else replicates. XLA then runs the channel contraction as a
+    sharded matmul (all-gather/reduce on ICI).
+
+    `overrides` maps a path substring (as rendered by
+    `jax.tree_util.keystr`) to an explicit PartitionSpec for models with a
+    different layout. `report=True` additionally returns
+    {path: "sharded" | "replicated(<reason>)"} so silent replication of a
+    renamed/reshaped weight is visible instead of a performance mystery.
+    """
     size = mesh.shape[axis]
+    overrides = overrides or {}
+    log: dict[str, str] = {}
 
     def spec_for(path, leaf):
-        name = "/".join(str(p.key) if hasattr(p, "key") else str(p) for p in path)
-        if (leaf.ndim >= 2 and leaf.shape[1] % size == 0
-                and ("weights" in name or "Dense" in name or "kernel" in name)):
-            spec = [None] * leaf.ndim
-            spec[1] = axis
-            return NamedSharding(mesh, P(*spec))
+        name = jax.tree_util.keystr(path)
+        for pat, spec in overrides.items():
+            if pat in name:
+                log[name] = f"override {spec}"
+                return NamedSharding(mesh, spec)
+        if leaf.ndim >= 2:
+            if leaf.shape[1] % size == 0:
+                spec = [None] * leaf.ndim
+                spec[1] = axis
+                log[name] = "sharded"
+                return NamedSharding(mesh, P(*spec))
+            log[name] = f"replicated(dim1={leaf.shape[1]} % {size} != 0)"
+        else:
+            log[name] = "replicated(ndim<2)"
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+    shardings = jax.tree_util.tree_map_with_path(spec_for, params)
+    return (shardings, log) if report else shardings
 
 
 def sharded_calibrate(scores, alpha: float, mesh: Mesh):

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["subplots_2d", "subplots_1d"]
+__all__ = ["subplots_2d", "subplots_1d", "coverage_figure", "save_experiment_artifacts"]
 
 
 def subplots_2d(values, titles=None, flatten: bool = False, suptitle: str | None = None,
@@ -64,3 +64,63 @@ def subplots_1d(x, values: dict, indices, suptitle: str | None = None,
     if save_path:
         fig.savefig(save_path, bbox_inches="tight")
     return fig
+
+
+def coverage_figure(alphas, coverages: dict, title: str | None = None,
+                    save_path: str | None = None):
+    """Empirical-coverage-vs-(1-alpha) figure with the ideal diagonal — the
+    artifact every reference experiment saves (e.g.
+    `Marginal/Advection_Residuals_CP.py:286-300`). `coverages` maps a legend
+    label to a coverage array over `alphas`."""
+    import matplotlib.pyplot as plt
+
+    alphas = np.asarray(alphas)
+    fig, ax = plt.subplots(figsize=(5, 4.2))
+    ideal = 1 - alphas
+    ax.plot(ideal, ideal, "k--", label="ideal")
+    for label, cov in coverages.items():
+        if cov is not None:
+            ax.plot(ideal, np.asarray(cov), marker="o", ms=3, label=label)
+    ax.set_xlabel("1 - alpha")
+    ax.set_ylabel("empirical coverage")
+    if title:
+        ax.set_title(title)
+    ax.legend()
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    return fig
+
+
+def save_experiment_artifacts(results: dict, out_dir: str, case: str):
+    """Write the reference's per-experiment figure set to `out_dir`
+    (the reference saves PDFs/SVGs into `Plots/`, .gitignored): the
+    coverage sweep and, when prediction fields are present, a field panel."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    mode = results.get("mode", "joint")
+    covs = {"AER+PRE": results.get("coverage_aer_pre"),
+            "PRE": results.get("coverage_pre")}
+    if results.get("coverage_aer_pre_holdout") is not None:
+        covs["AER+PRE (holdout mod)"] = results["coverage_aer_pre_holdout"]
+    fig = coverage_figure(results["alphas"], covs,
+                          title=f"{case} ({mode} CP)",
+                          save_path=os.path.join(out_dir, f"{case}_{mode}_coverage.pdf"))
+    try:
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+    except Exception:
+        pass
+    pred = results.get("pred_pred")
+    if pred is not None and np.ndim(pred) == 5:
+        p = np.asarray(pred[0, 0])
+        idx = [0, p.shape[-1] // 2, p.shape[-1] - 1]
+        fig = subplots_2d([p[..., i] for i in idx],
+                          titles=[f"t={i}" for i in idx],
+                          suptitle=f"{case} prediction rollout",
+                          save_path=os.path.join(out_dir, f"{case}_{mode}_fields.pdf"))
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)

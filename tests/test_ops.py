@@ -353,3 +353,54 @@ def test_vector_differentiate_per_sample_batch():
                                           correlation=True))[0]
     np.testing.assert_allclose(batched[0], single_0, atol=1e-4)
     np.testing.assert_allclose(batched[1], single_1, atol=1e-4)
+
+
+def test_fft_conv_groups_match_torch():
+    """Grouped FFT conv vs torch F.conv2d(groups=...) — upstream semantics
+    (the reference's vendored copy accepts `groups` but ignores it,
+    `fft_conv.py:115`; documented deviation)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(7)
+    sig = rng.standard_normal((2, 6, 12, 14)).astype(np.float32)
+    ker = rng.standard_normal((4, 3, 3, 3)).astype(np.float32)  # groups=2
+    ours = np.asarray(fft_conv(jnp.asarray(sig), jnp.asarray(ker), groups=2,
+                               padding=1))
+    theirs = F.conv2d(torch.tensor(sig), torch.tensor(ker), groups=2,
+                      padding=1).numpy()
+    assert np.abs(ours - theirs).mean() < 5e-5
+    assert np.abs(ours - theirs).max() < 1e-3
+
+
+def test_fftconv_module_wrappers():
+    """FFTConv1d/2d layer surface (reference _FFTConv, fft_conv.py:134-211):
+    init/apply with weight+bias params, grouped, matches direct conv."""
+    import torch
+    import torch.nn.functional as F
+
+    from cppre.ops.fftconv import FFTConv1d, FFTConv2d
+
+    layer = FFTConv2d(in_channels=4, out_channels=6, kernel_size=3,
+                      padding=1, groups=2)
+    params = layer.init(0)
+    assert params["weight"].shape == (6, 2, 3, 3)
+    assert params["bias"].shape == (6,)
+    rng = np.random.default_rng(8)
+    sig = rng.standard_normal((2, 4, 10, 12)).astype(np.float32)
+    out = np.asarray(layer.apply(params, jnp.asarray(sig)))
+    ref = F.conv2d(torch.tensor(sig), torch.tensor(np.asarray(params["weight"])),
+                   bias=torch.tensor(np.asarray(params["bias"])),
+                   padding=1, groups=2).numpy()
+    assert np.abs(out - ref).max() < 1e-3
+
+    l1 = FFTConv1d(in_channels=2, out_channels=2, kernel_size=5, bias=False)
+    p1 = l1.init(1)
+    sig1 = rng.standard_normal((3, 2, 20)).astype(np.float32)
+    out1 = np.asarray(l1.apply(p1, jnp.asarray(sig1)))
+    ref1 = F.conv1d(torch.tensor(sig1),
+                    torch.tensor(np.asarray(p1["weight"]))).numpy()
+    assert np.abs(out1 - ref1).max() < 1e-3
+
+    with pytest.raises(ValueError):
+        FFTConv2d(in_channels=5, out_channels=4, kernel_size=3, groups=2)

@@ -85,3 +85,54 @@ def test_chunked_diff_stats_matches_whole_block():
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
+
+
+@pytest.mark.parametrize("interpret", [None, True])
+def test_fused_mhd_induction_matches_pre_mhd(interpret):
+    from cppre.ops.pallas import mhd_induction_residual_fused
+    from cppre.residuals.mhd import PRE_MHD
+
+    rng = np.random.default_rng(4)
+    fields = jnp.asarray(rng.standard_normal((2, 6, 9, 16, 24)), jnp.float32)
+    pre = PRE_MHD(0.01, 0.02, 0.02)
+    ref = pre.residual_induction(fields)
+    out = mhd_induction_residual_fused(fields, interpret=interpret)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+@pytest.mark.parametrize("interpret", [None, True])
+def test_fused_mhd_joint_cp_scores_match_reference_path(interpret):
+    from cppre.cp.inductive import modulation_func, ncf_metric_joint
+    from cppre.ops.pallas import mhd_induction_joint_cp_scores_fused
+    from cppre.residuals.mhd import PRE_MHD
+
+    rng = np.random.default_rng(5)
+    truth = jnp.asarray(rng.standard_normal((6, 6, 8, 16, 24)), jnp.float32)
+    pred = truth + 0.1 * jnp.asarray(rng.standard_normal(truth.shape), jnp.float32)
+    pre = PRE_MHD(0.01, 0.02, 0.02)
+    ro, rp = pre.residual_induction(truth), pre.residual_induction(pred)
+    mod = modulation_func(ro, rp) + 1e-6
+    expected = ncf_metric_joint(ro, rp, mod)
+    got = mhd_induction_joint_cp_scores_fused(truth, pred, interpret=interpret)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-3)
+
+
+@pytest.mark.parametrize("interpret", [None, True])
+def test_fused_wave_joint_cp_scores_match_reference_path(interpret):
+    from cppre.cp.inductive import modulation_func, ncf_metric_joint
+    from cppre.ops.pallas import wave_joint_cp_scores_fused, wave_residual_fused
+    from cppre.residuals.wave import PRE_Wave
+
+    rng = np.random.default_rng(6)
+    truth = jnp.asarray(rng.standard_normal((6, 8, 16, 24)), jnp.float32)
+    pred = truth + 0.1 * jnp.asarray(rng.standard_normal(truth.shape), jnp.float32)
+    pre = PRE_Wave(0.01, 0.02, c=1.0)
+    ro, rp = pre(truth), pre(pred)
+    mod = modulation_func(ro, rp) + 1e-6
+    expected = ncf_metric_joint(ro, rp, mod)
+    got = wave_joint_cp_scores_fused(truth, pred, pre.D.kernel, interpret=interpret)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-3)
+    # residual alias parity too
+    np.testing.assert_allclose(
+        np.asarray(wave_residual_fused(truth, pre.D.kernel, interpret=interpret)),
+        np.asarray(ro), atol=2e-6)

@@ -76,3 +76,160 @@ def test_tp_param_shardings_only_divisible_dims():
     shardings = fno_param_shardings(params, mesh)
     assert shardings["Dense_0"]["kernel"].spec == jax.sharding.PartitionSpec(None, "tp")
     assert shardings["fc2"]["kernel"].spec == jax.sharding.PartitionSpec()
+
+
+@needs_8
+def test_halo_stencil_2d_matches_single_device():
+    """(x, y) decomposition incl. corner ghosts for diagonal taps."""
+    from cppre.parallel import stencil_conv_sharded_2d
+
+    mesh = make_mesh(8, dp=4, tp=2, axis_names=("spx", "spy"))
+    rng = np.random.default_rng(2)
+    field = jnp.asarray(rng.standard_normal((2, 6, 32, 16)), jnp.float32)
+    # dense random 3x3x3 kernel: exercises every tap incl. the corners that
+    # only a correct corner-halo exchange can serve
+    k = rng.standard_normal((3, 3, 3)).astype(np.float32)
+    ref = direct_conv(field, k)
+    shd = stencil_conv_sharded_2d(field, k, mesh, axes=("spx", "spy"))
+    np.testing.assert_allclose(np.asarray(shd), np.asarray(ref), atol=1e-5)
+
+
+@needs_8
+def test_sharded_fft2_roundtrip_and_parity():
+    from cppre.parallel import fft2_sharded, ifft2_sharded
+
+    mesh = make_mesh(8, dp=8, tp=1, axis_names=("sp", "_"))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((3, 32, 16)), jnp.float32)
+    X = fft2_sharded(x, mesh, axis="sp")
+    ref = jnp.fft.fft2(x)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    back = ifft2_sharded(X, mesh, axis="sp")
+    np.testing.assert_allclose(np.asarray(jnp.real(back)), np.asarray(x),
+                               atol=1e-5)
+
+
+@needs_8
+def test_sharded_spectral_conv_matches_circular_reference():
+    from cppre.parallel import spectral_circular_conv_sharded
+
+    mesh = make_mesh(8, dp=8, tp=1, axis_names=("sp", "_"))
+    rng = np.random.default_rng(4)
+    field = jnp.asarray(rng.standard_normal((2, 32, 16)), jnp.float32)
+    kernel = rng.standard_normal((3, 3)).astype(np.float32)
+    # single-device circular correlation oracle: roll-shift accumulation
+    ref = np.zeros_like(np.asarray(field))
+    f_np = np.asarray(field)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ref += kernel[1 + di, 1 + dj] * np.roll(f_np, (-di, -dj), axis=(-2, -1))
+    out = spectral_circular_conv_sharded(field, kernel, mesh, axis="sp")
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+@needs_8
+def test_full_pipeline_dp_parity_vs_single_device():
+    """The whole advection flow (train -> rollout -> PRE -> joint CP)
+    dp-sharded over 8 devices must match the single-device run numerically
+    (VERDICT r1 item 7). Run in f64 so the only sharding-induced divergence
+    (cross-device reduction order in the grad psum) sits at ~1e-12 and the
+    parity assertion is tight; in f32 the same reorder noise compounds over
+    train steps into percent-level qhat drift."""
+    import optax
+
+    from cppre.cp import calibrate, modulation_func, ncf_metric_joint
+    from cppre.models import FNO1d
+    from cppre.parallel import make_mesh, make_sharded_train_step, shard_batch
+    from cppre.residuals.advection import PRE_Advection
+    from cppre.solvers.advection1d import Advection1D
+    from cppre.train.loops import make_optimizer, make_train_step
+    from cppre.train.losses import lp_loss
+    from cppre.train.rollout import validation_AR
+
+    with jax.enable_x64(True):
+        _full_pipeline_dp_parity_body()
+
+
+def _full_pipeline_dp_parity_body():
+    from cppre.cp import calibrate, modulation_func, ncf_metric_joint
+    from cppre.models import FNO1d
+    from cppre.parallel import make_mesh, make_sharded_train_step, shard_batch
+    from cppre.residuals.advection import PRE_Advection
+    from cppre.solvers.advection1d import Advection1D
+    from cppre.train.loops import make_optimizer, make_train_step
+    from cppre.train.losses import lp_loss
+    from cppre.train.rollout import validation_AR
+
+    # tiny data-free advection set
+    sim = Advection1D(64, 50, 0.0, 2.0, 0.5)
+    rng = np.random.default_rng(5)
+    sols = np.stack([sim.solve(xc, amp, 1.0)[2]
+                     for xc, amp in zip(rng.uniform(0.3, 0.7, 16),
+                                        rng.uniform(20, 80, 16))])
+    data = jnp.asarray(sols, jnp.float64).transpose(0, 2, 1)[:, None]  # [16,1,Nx,Nt]
+    a, u = data[..., :1], data[..., 1:11]
+
+    model = FNO1d(T_in=1, step=1, modes1=8, num_vars=1, width_time=8)
+    params0 = model.init(jax.random.PRNGKey(0), a[:1])
+    tx = make_optimizer(1e-3)
+
+    def run_steps(train_step, params, opt_state, xx, yy, n=3):
+        for _ in range(n):
+            params, opt_state, loss, *_ = train_step(params, opt_state, xx, yy)
+        return params, loss
+
+    # single-device
+    step_1 = make_train_step(model.apply, tx, step=1, T_out=10,
+                             loss_func=lp_loss, remat=False)
+    p1, loss1 = run_steps(step_1, params0, tx.init(params0), a, u)
+
+    # dp-sharded over 8 devices
+    mesh = make_mesh(8, dp=8, tp=1)
+    a_s, u_s = shard_batch(a, mesh), shard_batch(u, mesh)
+    step_8 = make_sharded_train_step(model.apply, tx, step=1, T_out=10,
+                                     loss_func=lp_loss, mesh=mesh)
+    p8, loss8 = run_steps(step_8, params0, tx.init(params0), a_s, u_s)
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-9)
+    # the core parity claim: sharded training computes the same update.
+    # Flax params stay f32 even under x64, so the grad psum's reduction
+    # order leaves ~eps_f32 per-leaf noise (measured 3.5e-6 max rel).
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-7), p8, p1)
+
+    # rollout + PRE + joint CP on both parameter sets
+    def cp_tail(params):
+        pred, _, _ = validation_AR(lambda x: model.apply(params, x), a, u, 1, 10)
+        pre = PRE_Advection(sim.dt, sim.dx, v=1.0)
+        to_ops = lambda f: jnp.transpose(f, (0, 1, 3, 2))[:, 0]
+        ro, rp = pre(to_ops(u)), pre(to_ops(pred))
+        mod = modulation_func(ro, rp) + 1e-6
+        return calibrate(ncf_metric_joint(ro, rp, mod), 16, 0.1)
+
+    # the sup-norm qhat is an extreme-value statistic: eps_f32 weight noise
+    # legitimately moves which cell attains the max, so the end-to-end bound
+    # is loose by construction (measured ~0.4%)
+    np.testing.assert_allclose(float(cp_tail(p8)), float(cp_tail(p1)), rtol=2e-2)
+
+
+@needs_8
+def test_param_shardings_structural_with_report_and_overrides():
+    """The sharding rule is structural (dim 1 = out channel), survives leaf
+    renames, reports replication reasons, honours explicit overrides."""
+    mesh = make_mesh(8, dp=4, tp=2)
+    params = {
+        "renamed_anything": jnp.ones((8, 16)),          # rename-proof
+        "spectral": {"w_re": jnp.ones((4, 8, 1, 3, 3))},
+        "odd_out": jnp.ones((16, 3)),                   # 3 % 2 != 0
+        "bias": jnp.ones((16,)),
+    }
+    shardings, log = fno_param_shardings(params, mesh, report=True)
+    P = jax.sharding.PartitionSpec
+    assert shardings["renamed_anything"].spec == P(None, "tp")
+    assert shardings["spectral"]["w_re"].spec == P(None, "tp", None, None, None)
+    assert shardings["odd_out"].spec == P()
+    assert "replicated" in log["['odd_out']"]
+    over = fno_param_shardings(params, mesh,
+                               overrides={"odd_out": P("tp", None)})
+    assert over["odd_out"].spec == P("tp", None)
