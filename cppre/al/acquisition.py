@@ -1,5 +1,15 @@
 """Acquisition functions (reference `Advection_AL_Joint.py:297-331` and the
-marginal variant `Advection_AL_Marginal.py:169-220`)."""
+marginal variant `Advection_AL_Marginal.py:169-220`).
+
+TPU numerics note: candidate rollouts are evaluated at whatever batch size
+the candidate pool has, while `cal_scores` come from the calibration batch.
+On TPU, different batch shapes round differently at bf16 matmul precision
+(see `experiments/base2d.run_2d_cp`); for CP *coverage* this is corrected
+by single-call rollouts, but acquisition is a ranking heuristic — the
+residual perturbation only jitters the accept/reject margin, it does not
+bias which region of parameter space gets acquired, so the looser contract
+is acceptable here (and the FNO's f32-precision contractions bound the
+jitter)."""
 
 from __future__ import annotations
 

@@ -84,23 +84,30 @@ def run(mode: str = "marginal", config: dict | None = None, seed: int = 0,
     train_time = time.perf_counter() - t0
     apply_fn = lambda x: model.apply(params, x)
 
-    # --- test metrics ---
+    # --- test + calibration rollouts, ONE batched call ---
+    # (TPU kernels round differently per batch shape; scoring cal and test
+    # sets from different-shaped rollouts breaks CP exchangeability — see
+    # base2d.run_2d_cp. Roll everything out together, split after.)
     test_a, test_u = _gen_fields(sim, sample_params(LB, UB, cfg["n_test"], seed + 1), T_in, T_out)
-    pred_test, mse, mae = validation_AR(apply_fn, test_a, test_u, step, T_out)
+    cal_a, cal_u = _gen_fields(sim, sample_params(LB, UB, cfg["n_cal"], seed + 2), T_in, T_out)
+    # prediction set is IC-only (no targets), reference :240-247
+    pred_params = sample_params(LB, UB, cfg["n_pred"], seed + 3)
+    pred_a, _ = _gen_fields(sim, pred_params, T_in, T_out)
+    n_test, n_cal = cfg["n_test"], cfg["n_cal"]
+    from ..train.rollout import autoregressive_rollout
+
+    pred_all = autoregressive_rollout(
+        apply_fn, jnp.concatenate((test_a, cal_a, pred_a)), step, T_out)
+    pred_test = pred_all[:n_test]
+    pred_cal = pred_all[n_test : n_test + n_cal]
+    pred_roll = pred_all[n_test + n_cal :]
+    mse = jnp.mean((pred_test - test_u) ** 2)
+    mae = jnp.mean(jnp.abs(pred_test - test_u))
     if verbose:
         print(f"Testing Error (MSE): {float(mse):.3e}  (MAE): {float(mae):.3e}")
 
-    # --- calibration residuals ---
-    cal_a, cal_u = _gen_fields(sim, sample_params(LB, UB, cfg["n_cal"], seed + 2), T_in, T_out)
-    pred_cal, _, _ = validation_AR(apply_fn, cal_a, cal_u, step, T_out)
     res_out_cal = pre(_to_convops(cal_u[..., ::disc]))
     res_pred_cal = pre(_to_convops(pred_cal[..., ::disc]))
-
-    # --- prediction residuals (IC-only rollout, :240-247) ---
-    pred_params = sample_params(LB, UB, cfg["n_pred"], seed + 3)
-    pred_a, _ = _gen_fields(sim, pred_params, T_in, T_out)
-    pred_roll, _, _ = validation_AR(
-        apply_fn, pred_a, jnp.zeros(pred_a.shape[:-1] + (T_out,)), step, T_out)
     pred_residual = pre(_to_convops(pred_roll[..., ::disc]))
 
     # --- test residuals for the coverage sweep ---

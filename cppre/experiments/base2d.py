@@ -80,19 +80,26 @@ def run_2d_cp(
     train_time = time.perf_counter() - t0
     apply_fn = lambda x: model.apply(params, x)
 
-    # calibration and prediction splits come from the tail of the data
+    # calibration and prediction splits come from the tail of the data.
+    # CRITICAL: both rollouts run in ONE batched call and are split after.
+    # TPU kernels tile by batch shape, and different shapes round
+    # differently (bf16 matmul noise, amplified by the AR rollout); rolling
+    # the two sets out at different batch sizes makes their residual
+    # statistics non-exchangeable, which breaks the CP guarantee (observed
+    # as total coverage collapse at n_cal=400 vs n_pred=100). One call =
+    # identical numerics for every scored sample, by construction.
     cal_sl = slice(n_train, n_train + n_cal)
     pred_sl = slice(n_train + n_cal, n_train + n_cal + n_pred)
+    a_cp = jnp.concatenate((a_enc[cal_sl], a_enc[pred_sl]))
+    u_cp = jnp.concatenate((u_enc[cal_sl], u_enc[pred_sl]))
 
-    pred_cal, mse, mae = validation_AR(apply_fn, a_enc[cal_sl], u_enc[cal_sl], step, T_out)
+    pred_all, mse, mae = validation_AR(apply_fn, a_cp, u_cp, step, T_out)
+    pred_cal, pred_pred = pred_all[:n_cal], pred_all[n_cal:]
     if verbose:
-        print(f"Calibration rollout MSE {float(mse):.3e} MAE {float(mae):.3e}")
-    u_out_cal = _to_convops(out_norm.decode(u_enc[cal_sl]))
-    u_pred_cal = _to_convops(out_norm.decode(pred_cal))
-    res_out_cal = residual_fn(u_out_cal)
-    res_pred_cal = residual_fn(u_pred_cal)
+        print(f"Cal+pred rollout MSE {float(mse):.3e} MAE {float(mae):.3e}")
+    res_out_cal = residual_fn(_to_convops(out_norm.decode(u_enc[cal_sl])))
+    res_pred_cal = residual_fn(_to_convops(out_norm.decode(pred_cal)))
 
-    pred_pred, _, _ = validation_AR(apply_fn, a_enc[pred_sl], u_enc[pred_sl], step, T_out)
     res_pred = residual_fn(_to_convops(out_norm.decode(pred_pred)))
     res_out_pred = residual_fn(_to_convops(out_norm.decode(u_enc[pred_sl])))
 

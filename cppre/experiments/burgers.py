@@ -71,10 +71,14 @@ def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
     apply_fn = lambda x: model.apply(params, x)
 
     to_convops = lambda f: jnp.transpose(f, (0, 1, 3, 2))[:, 0]
-    pred_cal, mse, mae = validation_AR(apply_fn, a_all[cal], u_all[cal], step, T_out)
+    # cal + pred rollouts in ONE batched call: per-batch-shape TPU rounding
+    # breaks score exchangeability otherwise (see base2d.run_2d_cp)
+    pred_both, mse, mae = validation_AR(
+        apply_fn, jnp.concatenate((a_all[cal], a_all[prd])),
+        jnp.concatenate((u_all[cal], u_all[prd])), step, T_out)
+    pred_cal, pred_prd = pred_both[: cfg["n_cal"]], pred_both[cfg["n_cal"] :]
     res_out_cal = pre(to_convops(u_all[cal]))
     res_pred_cal = pre(to_convops(pred_cal))
-    pred_prd, _, _ = validation_AR(apply_fn, a_all[prd], u_all[prd], step, T_out)
     res_pred = pre(to_convops(pred_prd))
     res_out_pred = pre(to_convops(u_all[prd]))
 

@@ -106,6 +106,23 @@ def run_freegsnke(config: dict | None = None, seed: int = 0, verbose: bool = Tru
     return results
 
 
+def load_efit_csv(path: str, n_grid: int = 33, nrows: int | None = 10000):
+    """Reference EFIT dataset ingestion (`EFIT/EFIT_cp.py:36-53`): headerless
+    CSV, column 0 an index, then 6 flattened n_grid^2 blocks per row
+    (psi_true, psi_pred, pff_true, pff_pred, gs_true, gs_pred). Returns
+    (psi_true, psi_pred) as [N, n_grid, n_grid] float32."""
+    raw = np.loadtxt(path, delimiter=",", max_rows=nrows, dtype=np.float32)
+    raw = np.atleast_2d(raw)[:, 1:]  # drop the index column
+    ncell = n_grid * n_grid
+    if raw.shape[1] < 2 * ncell:
+        raise ValueError(
+            f"EFIT CSV rows have {raw.shape[1]} values; expected >= "
+            f"{2 * ncell} (psi_true + psi_pred blocks of {ncell})")
+    psi_true = raw[:, :ncell].reshape(-1, n_grid, n_grid)
+    psi_pred = raw[:, ncell : 2 * ncell].reshape(-1, n_grid, n_grid)
+    return psi_true, psi_pred
+
+
 def run_efit(psi_true=None, psi_pred=None, R=None, dr=None, dz=None,
              alphas=None, seed: int = 0, verbose: bool = True):
     """Marginal CP over (psi_true, psi_pred) pairs (`EFIT/EFIT_cp.py:36-110`).

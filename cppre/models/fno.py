@@ -52,15 +52,24 @@ def _uniform_init(scale: float):
     return init
 
 
+# All channel contractions run at full f32 MXU precision. The TPU default
+# (bf16 multiplies) makes the forward pass BATCH-SHAPE-DEPENDENT: different
+# batch sizes tile the MXU differently and round differently — measured
+# max|d| = 0.087 on an O(1)-scale single FNO step between bs=200 and
+# bs=100, amplified ~4x through a 20-step AR rollout. That noise (a) breaks
+# exchangeability between calibration and prediction rollouts evaluated at
+# different batch shapes (observed as total joint-CP coverage collapse) and
+# (b) inflates the physics residuals CP calibrates on. f32 contraction
+# removes both; the FLOPs live in the FFTs either way.
+PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _cmul(xr, xi, wr, wi, eq):
     """Complex einsum via 4 real einsums (returns re, im)."""
     f32 = jnp.float32
-    re = jnp.einsum(eq, xr, wr, preferred_element_type=f32) - jnp.einsum(
-        eq, xi, wi, preferred_element_type=f32
-    )
-    im = jnp.einsum(eq, xr, wi, preferred_element_type=f32) + jnp.einsum(
-        eq, xi, wr, preferred_element_type=f32
-    )
+    kw = dict(preferred_element_type=f32, precision=PRECISION)
+    re = jnp.einsum(eq, xr, wr, **kw) - jnp.einsum(eq, xi, wi, **kw)
+    im = jnp.einsum(eq, xr, wi, **kw) + jnp.einsum(eq, xi, wr, **kw)
     return re, im
 
 
@@ -149,9 +158,9 @@ class _ChannelMLP(nn.Module):
     def __call__(self, x):
         # x: [B, C, ...spatial] -> move C last for Dense
         x = jnp.moveaxis(x, 1, -1)
-        x = nn.Dense(self.mid_channels)(x)
+        x = nn.Dense(self.mid_channels, precision=PRECISION)(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out_channels)(x)
+        x = nn.Dense(self.out_channels, precision=PRECISION)(x)
         return jnp.moveaxis(x, -1, 1)
 
 
@@ -163,7 +172,7 @@ class _Channel1x1(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = jnp.moveaxis(x, 1, -1)
-        x = nn.Dense(self.out_channels)(x)
+        x = nn.Dense(self.out_channels, precision=PRECISION)(x)
         return jnp.moveaxis(x, -1, 1)
 
 
@@ -232,7 +241,7 @@ class FNO2d(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         grid = self.get_grid(x.shape)
         x = jnp.concatenate((x, grid), axis=-1)
-        x = nn.Dense(self.width_time, name="fc0_time")(x)
+        x = nn.Dense(self.width_time, name="fc0_time", precision=PRECISION)(x)
         drop = (lambda z: nn.Dropout(self.dropout_rate)(z, deterministic=deterministic)) \
             if self.dropout_rate > 0.0 else (lambda z: z)
         x = drop(x)  # after initial projection (Dropout_FNO.py:165)
@@ -251,10 +260,10 @@ class FNO2d(nn.Module):
         x = block("f5")(x, grid_c, deterministic) + x1
 
         x = jnp.transpose(x, (0, 2, 3, 4, 1))  # [B, V, Nx, Ny, W]
-        x = nn.Dense(256, name="fc1_time")(x)
+        x = nn.Dense(256, name="fc1_time", precision=PRECISION)(x)
         x = nn.gelu(x, approximate=False)
         x = drop(x)  # between FC layers (Dropout_FNO.py:183)
-        return nn.Dense(self.step, name="fc2_time")(x)
+        return nn.Dense(self.step, name="fc2_time", precision=PRECISION)(x)
 
 
 class FNO1d(nn.Module):
@@ -279,7 +288,7 @@ class FNO1d(nn.Module):
     def __call__(self, x):
         grid = self.get_grid(x.shape)
         x = jnp.concatenate((x, grid), axis=-1)
-        x = nn.Dense(self.width_time, name="fc0_time")(x)
+        x = nn.Dense(self.width_time, name="fc0_time", precision=PRECISION)(x)
         x = jnp.transpose(x, (0, 3, 1, 2))  # [B, W, V, Nx]
         grid_c = jnp.transpose(grid, (0, 3, 1, 2))
 
@@ -292,9 +301,9 @@ class FNO1d(nn.Module):
         x = block("f5")(x, grid_c) + x1
 
         x = jnp.transpose(x, (0, 2, 3, 1))
-        x = nn.Dense(256, name="fc1_time")(x)
+        x = nn.Dense(256, name="fc1_time", precision=PRECISION)(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.step, name="fc2_time")(x)
+        return nn.Dense(self.step, name="fc2_time", precision=PRECISION)(x)
 
 
 # Reference-name aliases (`FNO_multi2d(...)` call sites).

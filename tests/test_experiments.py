@@ -120,3 +120,71 @@ def test_jorek_joint_end_to_end():
             verbose=False)
     ideal = 1 - r["alphas"]
     assert np.mean(np.abs(r["coverage_aer_pre"] - ideal)) < 0.25
+
+
+def test_jorek_npz_ingestion_schema(tmp_path):
+    """The documented offline-dataset path (`Joint/JOREK_residuals_CP.py:
+    120-142` schema: fields [Nsim, 3, NR, NZ, Nt] + R/Z/t grids): field
+    normalisation by (1e20, 1e5, 1e6) and NaN scrub must run before CP."""
+    from cppre.experiments.jorek import run, synthetic_blobs
+
+    R, Z, t, fields = synthetic_blobs(20, NR=16, NZ=16, Nt=50, seed=1)
+    norms = np.asarray([1e20, 1e5, 1e6], np.float32)
+    raw = fields * norms[None, :, None, None, None]
+    raw[3, 0, 2, 2, 5] = np.nan  # one bad simulation -> must be scrubbed
+    path = tmp_path / "jorek.npz"
+    np.savez(path, fields=raw, R=R, Z=Z, t=t)
+    r = run("joint", data_path=str(path),
+            config={"Epochs": 2, "Batch Size": 4, "Width_time": 8,
+                    "n_train": 5, "n_cal": 10, "n_pred": 4},
+            verbose=False)
+    # 20 sims - 1 scrubbed = 19 >= 5+10+4 and coverage array exists
+    assert r["coverage_aer_pre"].shape == (10,)
+    assert np.all(np.isfinite(r["coverage_aer_pre"]))
+
+
+def test_efit_csv_ingestion_schema(tmp_path):
+    """Reference EFIT CSV schema (`EFIT/EFIT_cp.py:36-53`): headerless rows
+    of index + 6 flattened 33x33 blocks; loader must recover psi pairs and
+    the CP flow must run on them."""
+    from cppre.experiments.gs import load_efit_csv, run_efit
+
+    rng = np.random.default_rng(9)
+    n_grid, n = 9, 12  # reduced grid, same layout
+    ncell = n_grid * n_grid
+    psi = rng.standard_normal((n, ncell)).astype(np.float32)
+    pred = psi + 0.01 * rng.standard_normal((n, ncell)).astype(np.float32)
+    other = rng.standard_normal((n, 4 * ncell)).astype(np.float32)
+    rows = np.concatenate([np.arange(n)[:, None].astype(np.float32),
+                           psi, pred, other], axis=1)
+    path = tmp_path / "v_results.csv"
+    np.savetxt(path, rows, delimiter=",")
+    pt, pp = load_efit_csv(str(path), n_grid=n_grid)
+    assert pt.shape == (n, n_grid, n_grid)
+    np.testing.assert_allclose(pt[2].ravel(), psi[2], rtol=1e-5)
+    R = np.linspace(1.0, 2.0, n_grid, dtype=np.float32)
+    out = run_efit(pt, pp, R=R, dr=0.1, dz=0.1, verbose=False)
+    assert np.all(np.isfinite(out["coverage"]))
+
+
+def test_cp_rollouts_single_batched_call(monkeypatch):
+    """Regression guard for the batch-shape exchangeability bug: TPU kernels
+    round differently per batch shape (measured max|d|=0.087 on one FNO step
+    between bs=200 and bs=100), so calibration and prediction rollouts MUST
+    share one batched validation_AR call — separate calls collapsed joint-CP
+    coverage to 0.0 at n_cal=400/n_pred=100 on hardware."""
+    import cppre.experiments.base2d as base2d
+    from cppre.experiments.wave import run
+
+    calls = []
+    real = base2d.validation_AR
+
+    def counting(apply_fn, a, u, step, T_out):
+        calls.append(a.shape[0])
+        return real(apply_fn, a, u, step, T_out)
+
+    monkeypatch.setattr(base2d, "validation_AR", counting)
+    run("joint", config={"Epochs": 1, "n_train": 4, "n_cal": 8, "n_pred": 4,
+                         "Nx": 32, "Modes": 4, "Width_time": 8,
+                         "Batch Size": 4}, verbose=False)
+    assert calls == [12], f"cal+pred must roll out together, got calls={calls}"
