@@ -51,15 +51,12 @@ def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
     cfg = dict(CONFIG, **(config or {}))
     n_total = cfg["n_train"] + cfg["n_cal"] + cfg["n_pred"]
     data, dt_eff, dx = gen_data(cfg, n_total, seed)
-    pre = PRE_MHD(dt_eff, dx, dx)
-    if cfg["equation"] == "induction":
-        # fused Pallas path on TPU (one VMEM pass over the 6-field block);
-        # identical XLA math off-TPU — parity in tests/test_pallas_kernels.py
-        from ..ops.pallas import mhd_induction_residual_fused
+    # fused Pallas path on TPU for every selectable equation (one VMEM pass
+    # over the 6-field block); identical XLA math off-TPU — parity in
+    # tests/test_pallas_kernels.py
+    from ..ops.pallas import mhd_residual_fused
 
-        res = mhd_induction_residual_fused
-    else:
-        res = lambda fields: pre.residual(fields, equation=cfg["equation"])
+    res = lambda fields: mhd_residual_fused(fields, equation=cfg["equation"])
     return run_2d_cp(data=data, residual_fn=res, cfg=cfg, mode=mode,
                      params=params, seed=seed, eps=1e-6, verbose=verbose,
                      **cp_kwargs)

@@ -12,6 +12,7 @@ from .stencil_kernels import (
     fused_stencil_residual,
     mhd_induction_joint_cp_scores_fused,
     mhd_induction_residual_fused,
+    mhd_residual_fused,
     ns_joint_cp_scores_fused,
     ns_momentum_residual_fused,
     wave_joint_cp_scores_fused,
@@ -22,6 +23,7 @@ __all__ = [
     "fused_stencil_residual",
     "mhd_induction_joint_cp_scores_fused",
     "mhd_induction_residual_fused",
+    "mhd_residual_fused",
     "ns_joint_cp_scores_fused",
     "ns_momentum_residual_fused",
     "wave_joint_cp_scores_fused",

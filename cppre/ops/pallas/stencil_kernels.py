@@ -35,6 +35,7 @@ __all__ = [
     "fused_stencil_residual",
     "ns_momentum_residual_fused",
     "mhd_induction_residual_fused",
+    "mhd_residual_fused",
     "ns_joint_cp_scores_fused",
     "mhd_induction_joint_cp_scores_fused",
     "wave_joint_cp_scores_fused",
@@ -221,14 +222,57 @@ def ns_momentum_residual_fused(fields, dt: float, dx: float, dy: float,
         interpret)
 
 
-def mhd_induction_residual_fused(fields, interpret: bool | None = None):
-    """Fused ideal-MHD induction PRE: fields [BS, 6, Nt, Nx, Ny]
-    (rho, u, v, p, Bx, By) -> interior residual [BS, Nt-2, Nx-2, Ny-2].
-    Matches `PRE_MHD.residual_induction(..., boundary=False)` exactly."""
+def _mhd_math(equation: str, f, nt, nx, ny):
+    """All five ideal-MHD residuals (`Joint/MHD_Residuals_CP.py:225-278`,
+    rebuilt in `residuals/mhd.py`) as interior-window shift-add math over a
+    [6, nt, nx, ny] block (rho, u, v, p, Bx, By)."""
+    GAMMA = 5.0 / 3.0
+    rho, u, v, p, Bx, By = f[0], f[1], f[2], f[3], f[4], f[5]
+    I = lambda a: _interior(a, nt, nx, ny)
+    d_t = lambda a: _d_t(a, nt, nx, ny)
+    d_x = lambda a: _d_x(a, nt, nx, ny)
+    d_y = lambda a: _d_y(a, nt, nx, ny)
+    if equation == "continuity":
+        return (d_t(rho) + I(u) * d_x(rho) + I(rho) * d_x(u)
+                + I(v) * d_y(rho) + I(rho) * d_y(v))
+    if equation == "momentum":
+        inv_rho = 1.0 / I(rho)
+        res_x = (d_t(u) + I(u) * d_x(u) + inv_rho * d_x(p)
+                 - 2 * (I(Bx) * inv_rho) * d_x(Bx) + I(v) * d_y(u)
+                 - (I(By) * inv_rho) * d_y(Bx) - (I(Bx) * inv_rho) * d_y(By))
+        res_y = (d_t(v) + I(u) * d_x(v) + inv_rho * d_y(p)
+                 - 2 * (I(By) * inv_rho) * d_y(By) + I(v) * d_y(v)
+                 - (I(By) * inv_rho) * d_x(Bx) - (I(Bx) * inv_rho) * d_x(By))
+        return res_x + res_y
+    if equation == "energy":
+        p_gas = I(p) - 0.5 * (I(Bx) ** 2 + I(By) ** 2)
+        return (d_t(rho) + I(u) * d_x(p) + I(v) * d_y(p)
+                + (GAMMA - 2) * (I(u) * I(Bx) + I(v) * I(By)) * (d_x(Bx) + d_y(By))
+                + (GAMMA * p_gas + I(By) ** 2) * d_x(u)
+                + (GAMMA * p_gas + I(Bx) ** 2) * d_y(v)
+                - I(Bx) * I(By) * (d_y(u) + d_x(v)))
+    if equation == "induction":
+        return _mhd_induction_math(f, nt, nx, ny)
+    if equation == "gauss":
+        return d_x(Bx) + d_y(By)
+    raise ValueError(f"unknown MHD equation {equation!r}")
+
+
+def mhd_residual_fused(fields, equation: str = "induction",
+                       interpret: bool | None = None):
+    """Fused ideal-MHD PRE for any of the five selectable equations
+    (the reference's selector, `Joint/MHD_Residuals_CP.py:323-348`):
+    fields [BS, 6, Nt, Nx, Ny] -> interior residual [BS, Nt-2, Nx-2, Ny-2].
+    Matches `PRE_MHD.residual(..., equation, boundary=False)` exactly."""
     bs, nvar, nt, nx, ny = fields.shape
     assert nvar >= 6
     return _batched_residual_fused(
-        fields, lambda f: _mhd_induction_math(f, nt, nx, ny), interpret)
+        fields, lambda f: _mhd_math(equation, f, nt, nx, ny), interpret)
+
+
+def mhd_induction_residual_fused(fields, interpret: bool | None = None):
+    """Fused ideal-MHD induction PRE (see `mhd_residual_fused`)."""
+    return mhd_residual_fused(fields, "induction", interpret)
 
 
 def wave_residual_fused(field, kernel, interpret: bool | None = None):
@@ -326,8 +370,17 @@ def _scores_from_diff_stats(diff, s, sq, n: int, eps: float):
 
 def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
                            nu: float = 0.001, interpret: bool | None = None):
-    """NS-momentum instance of `_joint_cp_diff_stats` (docstring there)."""
-    _, _, nt, nx, ny = truth.shape
+    """NS-momentum instance of `_joint_cp_diff_stats` (docstring there).
+
+    On TPU, shapes whose whole-trajectory blocks exceed the VMEM budget
+    route to the DMA-chunked kernel instead of falling back to XLA — same
+    one-pass traffic (each input tensor read exactly once), any Nt."""
+    nvar, nt, nx, ny = truth.shape[1:]
+    pad = lambda v, m: -(-v // m) * m
+    block_bytes = nvar * nt * pad(nx, 8) * pad(ny, 128) * 4
+    vmem_est = 2 * 2 * block_bytes + 3 * (nt * pad(nx, 8) * pad(ny, 128) * 4)
+    if interpret is None and _on_tpu() and vmem_est > 14 * 1024 * 1024:
+        return ns_joint_cp_diff_stats_chunked(truth, prediction, dt, dx, dy, nu)
     math_fn = lambda f: _ns_momentum_math(f[0], f[1], f[2], nt, nx, ny,
                                           dt, dx, dy, nu)
     return _joint_cp_diff_stats(truth, prediction, math_fn, interpret)

@@ -17,15 +17,14 @@ import time
 
 N_RUNS = 5
 
-# --- bytes moved per pipeline iteration (chunked Pallas path) -------------
-# reads: truth + prediction tensors once each (the one-pass diff+stats
-# kernel); writes: diff tensor (y padded to 128 lanes); reads: diff again
-# for the |.|/mod sup-reduction. Stats/scores are KB-scale.
+# --- bytes moved per pipeline iteration (winning composition) -------------
+# whole-block fused residual kernels read truth + prediction once and write
+# the two residual tensors; the XLA-fused std pass re-reads both, and the
+# sup-norm-score pass re-reads both again. Stats/scores are KB-scale.
 N_CAL, NVAR, NT, NX, NY = 100, 3, 21, 100, 100
-NY_PAD = -(-NY // 128) * 128
 BYTES_IN = 2 * N_CAL * NVAR * NT * NX * NY * 4
-BYTES_DIFF = N_CAL * (NT - 2) * (NX - 2) * NY_PAD * 4
-BYTES_TOTAL = BYTES_IN + 2 * BYTES_DIFF
+BYTES_RES = 2 * N_CAL * (NT - 2) * (NX - 2) * (NY - 2) * 4
+BYTES_TOTAL = BYTES_IN + 3 * BYTES_RES
 V5E_HBM_GBS = 819.0  # v5e HBM bandwidth, GB/s
 
 

@@ -136,3 +136,22 @@ def test_fused_wave_joint_cp_scores_match_reference_path(interpret):
     np.testing.assert_allclose(
         np.asarray(wave_residual_fused(truth, pre.D.kernel, interpret=interpret)),
         np.asarray(ro), atol=2e-6)
+
+
+@pytest.mark.parametrize("equation", ["continuity", "momentum", "energy",
+                                      "induction", "gauss"])
+@pytest.mark.parametrize("interpret", [None, True])
+def test_fused_mhd_all_equations_match_pre_mhd(equation, interpret):
+    """Every selectable MHD residual (`Joint/MHD_Residuals_CP.py:225-278`)
+    has a fused path matching the ConvOps reference implementation."""
+    from cppre.ops.pallas import mhd_residual_fused
+    from cppre.residuals.mhd import PRE_MHD
+
+    rng = np.random.default_rng(10)
+    fields = jnp.asarray(rng.standard_normal((2, 6, 8, 12, 16)), jnp.float32)
+    fields = fields.at[:, 0].add(3.0)  # keep rho away from 0 (momentum 1/rho)
+    pre = PRE_MHD(0.01, 0.02, 0.02)
+    ref = pre.residual(fields, equation=equation)
+    out = mhd_residual_fused(fields, equation=equation, interpret=interpret)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
