@@ -70,7 +70,8 @@ def synthetic_blobs(n: int, NR: int = 32, NZ: int = 32, Nt: int = 50,
 
 
 def run(mode: str = "joint", data_path: str | None = None,
-        config: dict | None = None, seed: int = 0, verbose: bool = True):
+        config: dict | None = None, seed: int = 0, verbose: bool = True,
+        **cp_kwargs):
     cfg = dict(CONFIG, **(config or {}))
     if data_path:
         z = np.load(data_path)
@@ -86,7 +87,7 @@ def run(mode: str = "joint", data_path: str | None = None,
     pre = PRE_JOREK(R, dt, dR, dZ, D=cfg["D"], K=cfg["K"], mu=cfg["mu"])
     res = lambda f: pre.residual(f, equation=cfg["equation"])
     return run_2d_cp(data=fields, residual_fn=res, cfg=cfg, mode=mode,
-                     seed=seed, eps=1e-6, verbose=verbose)
+                     seed=seed, eps=1e-6, verbose=verbose, **cp_kwargs)
 
 
 if __name__ == "__main__":

@@ -37,29 +37,41 @@ UB = np.asarray([1.0, 1.0])
 
 
 def gen_data(cfg: dict, n: int, seed: int = 0):
-    """LHS design -> [n, 3, Nx, Ny, Nt] FNO tensor (u, v, p) + grid steps."""
+    """LHS design -> [n, 3, Nx, Ny, Nt] FNO tensor (u, v, p) + grid steps.
+
+    The batched solve runs in sim-chunks: at the reference's N=400 the
+    stored full-resolution trajectories are ~130 MB/sim, so a single
+    300-sim vmap overflows HBM; each chunk is sliced `[::x_slice]` and
+    fetched to host before the next solves (reference slices after solving,
+    `Joint/NS_Residuals_CP.py:115-135` — same data, bounded memory)."""
     sim = NavierStokes2D(cfg["N"], cfg["tStart"], cfg["tEnd"], cfg["dt"],
                          cfg["nu"], cfg["L"], store_every=cfg["t_slice"])
     params = sample_params(LB, UB, n, seed)
-    u, v, p, w = (np.asarray(f) for f in sim.solve_batch(params))
     xs = cfg["x_slice"]
-    which = (u, v, p, w) if cfg.get("Variables", 3) >= 4 else (u, v, p)
-    fields = [f[:, :, ::xs, ::xs] for f in which]
-    data = np.stack([np.moveaxis(f, 1, -1) for f in fields], axis=1)
+    n_vars = 4 if cfg.get("Variables", 3) >= 4 else 3
+    n_frames = int((cfg["tEnd"] - cfg["tStart"]) / cfg["dt"] / cfg["t_slice"]) + 1
+    bytes_per_sim = n_frames * cfg["N"] ** 2 * 4 * 4  # 4 stored fields, f32
+    chunk = int(cfg.get("solver_chunk", max(1, int(4e9) // bytes_per_sim)))
+    chunks = []
+    for i in range(0, n, chunk):
+        out = sim.solve_batch(params[i : i + chunk])
+        fields = [np.asarray(f[:, :, ::xs, ::xs]) for f in out[:n_vars]]
+        chunks.append(np.stack([np.moveaxis(f, 1, -1) for f in fields], axis=1))
+    data = np.concatenate(chunks, axis=0)
     dt_eff = cfg["dt"] * cfg["t_slice"]
     dx = cfg["L"] / cfg["N"] * xs
     return data.astype(np.float32), dt_eff, dx
 
 
 def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
-        params=None, verbose: bool = True):
+        params=None, verbose: bool = True, **cp_kwargs):
     cfg = dict(CONFIG, **(config or {}))
     n_total = cfg["n_train"] + cfg["n_cal"] + cfg["n_pred"]
     data, dt_eff, dx = gen_data(cfg, n_total, seed)
     pre = PRE_NS(dt_eff, dx, dx, nu=cfg["nu"])
     res = getattr(pre, f"residual_{cfg['residual']}")
     out = run_2d_cp(data=data, residual_fn=res, cfg=cfg, mode=mode,
-                    params=params, seed=seed, verbose=verbose)
+                    params=params, seed=seed, verbose=verbose, **cp_kwargs)
     if mode == "marginal" and cfg.get("Variables", 3) >= 4:
         # CP over periodic-BC violation of the vorticity field
         # (`Marginal/NS_Residuals_CP.py:468-499`)

@@ -101,3 +101,21 @@ def test_timer_and_trace_helpers():
     with timer("t", sink=None) as t:
         sum(range(1000))
     assert t["seconds"] > 0
+
+
+def test_experiment_figure_artifacts(tmp_path):
+    """Experiments write the reference's coverage/field figure set
+    (`Marginal/Advection_Residuals_CP.py:286-300` saves plots per run)."""
+    import numpy as np
+
+    from cppre.utils.plot_tools import save_experiment_artifacts
+
+    r = {"mode": "joint", "alphas": np.linspace(0.05, 0.95, 10),
+         "coverage_aer_pre": np.linspace(0.95, 0.05, 10),
+         "coverage_pre": np.linspace(0.9, 0.05, 10),
+         "coverage_aer_pre_holdout": np.linspace(0.97, 0.06, 10),
+         "pred_pred": np.random.default_rng(0).random((2, 1, 8, 8, 5))}
+    save_experiment_artifacts(r, str(tmp_path), "Smoke")
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["Smoke_joint_coverage.pdf", "Smoke_joint_fields.pdf"]
+    assert all((tmp_path / n).stat().st_size > 1000 for n in names)
