@@ -23,7 +23,7 @@ from ..solvers.advection1d import Advection1D
 from ..train.loops import fit
 from ..train.losses import mse as mse_loss
 from ..cp.inductive import calibrate
-from ..train.rollout import validation_AR
+from ..train.rollout import autoregressive_rollout
 from .common import sample_params
 from .pipeline import joint_cp, marginal_cp
 
@@ -94,8 +94,6 @@ def run(mode: str = "marginal", config: dict | None = None, seed: int = 0,
     pred_params = sample_params(LB, UB, cfg["n_pred"], seed + 3)
     pred_a, _ = _gen_fields(sim, pred_params, T_in, T_out)
     n_test, n_cal = cfg["n_test"], cfg["n_cal"]
-    from ..train.rollout import autoregressive_rollout
-
     pred_all = autoregressive_rollout(
         apply_fn, jnp.concatenate((test_a, cal_a, pred_a)), step, T_out)
     pred_test = pred_all[:n_test]

@@ -93,10 +93,14 @@ def run_2d_cp(
     a_cp = jnp.concatenate((a_enc[cal_sl], a_enc[pred_sl]))
     u_cp = jnp.concatenate((u_enc[cal_sl], u_enc[pred_sl]))
 
-    pred_all, mse, mae = validation_AR(apply_fn, a_cp, u_cp, step, T_out)
+    pred_all, _, _ = validation_AR(apply_fn, a_cp, u_cp, step, T_out)
     pred_cal, pred_pred = pred_all[:n_cal], pred_all[n_cal:]
+    # metrics on the calibration slice only (the pre-existing contract:
+    # results['mse'] is the calibration-rollout MSE, not cal+pred mixed)
+    mse = jnp.mean((pred_cal - u_enc[cal_sl]) ** 2)
+    mae = jnp.mean(jnp.abs(pred_cal - u_enc[cal_sl]))
     if verbose:
-        print(f"Cal+pred rollout MSE {float(mse):.3e} MAE {float(mae):.3e}")
+        print(f"Calibration rollout MSE {float(mse):.3e} MAE {float(mae):.3e}")
     res_out_cal = residual_fn(_to_convops(out_norm.decode(u_enc[cal_sl])))
     res_pred_cal = residual_fn(_to_convops(out_norm.decode(pred_cal)))
 

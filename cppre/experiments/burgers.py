@@ -85,11 +85,14 @@ def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
     cp_fn = joint_cp if mode == "joint" else marginal_cp
     aer = cp_fn(res_out_cal, res_pred_cal, res_pred, res_out_pred)
     pre_only = cp_fn(res_out_cal, res_pred_cal, res_pred, mode="pre")
+    aer_h = joint_cp(res_out_cal, res_pred_cal, res_pred, res_out_pred,
+                     holdout_modulation=True) if mode == "joint" else None
 
     results = {
         "config": cfg, "mode": mode, "mse": float(mse), "mae": float(mae),
         "alphas": aer["alphas"], "coverage_aer_pre": aer["coverage"],
         "coverage_pre": pre_only["coverage"], "qhat": np.asarray(aer["qhat"]),
+        "coverage_aer_pre_holdout": aer_h["coverage"] if aer_h else None,
     }
     if verbose:
         for a, c1, c2 in zip(results["alphas"], results["coverage_aer_pre"],

@@ -86,8 +86,9 @@ def run(mode: str = "joint", data_path: str | None = None,
     dR, dZ = float(R[1] - R[0]), float(Z[1] - Z[0])
     pre = PRE_JOREK(R, dt, dR, dZ, D=cfg["D"], K=cfg["K"], mu=cfg["mu"])
     res = lambda f: pre.residual(f, equation=cfg["equation"])
+    cp_kwargs.setdefault("eps", 1e-6)  # reference's modulation guard
     return run_2d_cp(data=fields, residual_fn=res, cfg=cfg, mode=mode,
-                     seed=seed, eps=1e-6, verbose=verbose, **cp_kwargs)
+                     seed=seed, verbose=verbose, **cp_kwargs)
 
 
 if __name__ == "__main__":

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..residuals.mhd import PRE_MHD
 from ..solvers.mhd2d_constrained import mhd_solve_batch
 from .common import sample_params
 from .base2d import run_2d_cp
@@ -57,9 +56,9 @@ def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
     from ..ops.pallas import mhd_residual_fused
 
     res = lambda fields: mhd_residual_fused(fields, equation=cfg["equation"])
+    cp_kwargs.setdefault("eps", 1e-6)  # reference's modulation guard (:350)
     return run_2d_cp(data=data, residual_fn=res, cfg=cfg, mode=mode,
-                     params=params, seed=seed, eps=1e-6, verbose=verbose,
-                     **cp_kwargs)
+                     params=params, seed=seed, verbose=verbose, **cp_kwargs)
 
 
 if __name__ == "__main__":

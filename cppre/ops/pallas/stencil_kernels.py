@@ -177,16 +177,33 @@ def _mhd_induction_math(f, nt, nx, ny):
     return res_x + res_y
 
 
+def _vmem_pad(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
 def _batched_residual_fused(fields, math_fn, interpret: bool | None):
     """Grid-over-batch pallas_call: one whole-trajectory block per program,
     `math_fn([nvar, nt, nx, ny]) -> [nt-2, nx-2, ny-2]` interior residual.
     Off-TPU (or interpret=None off-device) falls back to vmapped XLA — the
-    same math, so parity is by construction."""
+    same math, so parity is by construction. Whole-trajectory blocks too
+    large for VMEM (double-buffered input + output must fit ~16 MB/core)
+    also fall back to the XLA lowering, with a warning so a perf-sensitive
+    caller notices (e.g. MHD at N=128: 8.3 MB padded blocks)."""
     bs, nvar, nt, nx, ny = fields.shape
     out_shape = (nt - 2, nx - 2, ny - 2)
 
     if interpret is None:
         if not _on_tpu():
+            return jax.vmap(math_fn)(fields)
+        block = nvar * nt * _vmem_pad(nx, 8) * _vmem_pad(ny, 128) * 4
+        out_b = (nt - 2) * _vmem_pad(nx - 2, 8) * _vmem_pad(ny - 2, 128) * 4
+        if 2 * block + 2 * out_b > 14 * 1024 * 1024:
+            import warnings
+
+            warnings.warn(
+                f"fused residual block ({2 * block + 2 * out_b >> 20} MiB "
+                f"double-buffered) exceeds VMEM; using the XLA lowering "
+                f"(same math) for shape {fields.shape}", stacklevel=3)
             return jax.vmap(math_fn)(fields)
         interpret = False
 
@@ -309,14 +326,25 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None):
         diff = f(truth) - f(prediction)
         return diff, jnp.sum(diff, axis=0), jnp.sum(diff**2, axis=0)
 
+    def _composed_path():
+        # the measured-fastest big-shape strategy (BASELINE.md roofline):
+        # per-tensor whole-block fused residual kernels (which still run as
+        # Pallas when a SINGLE trajectory fits VMEM) + XLA-fused moments
+        ro = _batched_residual_fused(truth, math_fn, None)
+        rp = _batched_residual_fused(prediction, math_fn, None)
+        diff = ro - rp
+        return diff, jnp.sum(diff, axis=0), jnp.sum(diff**2, axis=0)
+
     # VMEM budget: two double-buffered input blocks + out + stats must fit
     # in ~16 MB scoped vmem; pad nx to sublanes (8) and ny to lanes (128).
     pad = lambda v, m: -(-v // m) * m
     block_bytes = nvar * nt * pad(nx, 8) * pad(ny, 128) * 4
     vmem_est = 2 * 2 * block_bytes + 3 * (nt * pad(nx, 8) * pad(ny, 128) * 4)
     if interpret is None:
-        if not _on_tpu() or vmem_est > 14 * 1024 * 1024:
+        if not _on_tpu():
             return _xla_path()
+        if vmem_est > 14 * 1024 * 1024:
+            return _composed_path()
         interpret = False
 
     from jax.experimental import pallas as pl
@@ -372,15 +400,11 @@ def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
                            nu: float = 0.001, interpret: bool | None = None):
     """NS-momentum instance of `_joint_cp_diff_stats` (docstring there).
 
-    On TPU, shapes whose whole-trajectory blocks exceed the VMEM budget
-    route to the DMA-chunked kernel instead of falling back to XLA — same
-    one-pass traffic (each input tensor read exactly once), any Nt."""
-    nvar, nt, nx, ny = truth.shape[1:]
-    pad = lambda v, m: -(-v // m) * m
-    block_bytes = nvar * nt * pad(nx, 8) * pad(ny, 128) * 4
-    vmem_est = 2 * 2 * block_bytes + 3 * (nt * pad(nx, 8) * pad(ny, 128) * 4)
-    if interpret is None and _on_tpu() and vmem_est > 14 * 1024 * 1024:
-        return ns_joint_cp_diff_stats_chunked(truth, prediction, dt, dx, dy, nu)
+    Shapes whose paired whole-trajectory blocks exceed VMEM route to the
+    per-tensor-kernel + XLA-moments composition — measured faster than the
+    one-pass DMA-chunked kernel (BASELINE.md roofline), which remains
+    available explicitly as `ns_joint_cp_diff_stats_chunked`."""
+    nt, nx, ny = truth.shape[2:]
     math_fn = lambda f: _ns_momentum_math(f[0], f[1], f[2], nt, nx, ny,
                                           dt, dx, dy, nu)
     return _joint_cp_diff_stats(truth, prediction, math_fn, interpret)

@@ -11,6 +11,13 @@ split-CP quantile) on the real chip:
 Each timing chains INNER_ITERS in-graph evaluations per dispatch so the
 ~15-25 ms tunnel fetch amortises. Prints one JSON line per family.
 
+Path resolution at these shapes (see stencil_kernels._joint_cp_diff_stats):
+the paired two-tensor one-pass kernel exceeds VMEM for NS/MHD, so the
+"pallas" rows run the composed path — per-tensor whole-block Pallas
+residual kernels (which DO fit) + XLA-fused moments; the wave row's paired
+kernel fits and runs as a single one-pass Pallas call. The "xla" rows are
+the ConvOps shift-add composition.
+
 Run from /root/repo:  timeout 2400 python scripts/bench_families.py
 """
 

@@ -56,3 +56,18 @@ def test_efit_pipeline_coverage():
     out = run_efit(seed=0, verbose=False)
     ideal = 1 - out["alphas"]
     assert np.all(out["coverage"] >= ideal - 0.05)
+
+
+def test_freegsnke_pipeline_coverage():
+    """Reduced FreeGSNKE flow (`FreeGSNKE/GS_CP.py`): CAE surrogate on
+    Solov'ev equilibria, GS-operator PRE, marginal CP tracks the diagonal."""
+    import numpy as np
+
+    from cppre.experiments.gs import run_freegsnke
+
+    out = run_freegsnke(config={"n_total": 120, "n_train": 60, "Epochs": 120},
+                        seed=0, verbose=False)
+    ideal = 1 - out["alphas"]
+    # marginal CP on (true, pred) residual pairs: diagonal within noise
+    assert np.mean(np.abs(out["coverage_marginal"] - ideal)) < 0.15
+    assert np.all(np.isfinite(out["coverage_joint"]))
