@@ -73,10 +73,14 @@ def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
     to_convops = lambda f: jnp.transpose(f, (0, 1, 3, 2))[:, 0]
     # cal + pred rollouts in ONE batched call: per-batch-shape TPU rounding
     # breaks score exchangeability otherwise (see base2d.run_2d_cp)
-    pred_both, mse, mae = validation_AR(
+    pred_both, _, _ = validation_AR(
         apply_fn, jnp.concatenate((a_all[cal], a_all[prd])),
         jnp.concatenate((u_all[cal], u_all[prd])), step, T_out)
     pred_cal, pred_prd = pred_both[: cfg["n_cal"]], pred_both[cfg["n_cal"] :]
+    # metrics on the calibration slice only (mirrors base2d.run_2d_cp:
+    # results['mse'] is the calibration-rollout MSE, not cal+pred mixed)
+    mse = jnp.mean((pred_cal - u_all[cal]) ** 2)
+    mae = jnp.mean(jnp.abs(pred_cal - u_all[cal]))
     res_out_cal = pre(to_convops(u_all[cal]))
     res_pred_cal = pre(to_convops(pred_cal))
     res_pred = pre(to_convops(pred_prd))

@@ -20,6 +20,7 @@ import numpy as np
 import optax
 
 from ..models.cae import ConvAutoencoder
+from ..models.inr import INR
 from ..residuals.gs import PRE_GradShafranov
 from ..solvers.solovev import solovev_batch
 from ..train.normalizers import MinMaxNormalizer
@@ -34,7 +35,7 @@ CONFIG = {
 }
 
 
-def _train_cae(model, coords, params_in, psi, cfg, seed=0, verbose=False):
+def _train_surrogate(model, coords, params_in, psi, cfg, seed=0, verbose=False):
     p0 = model.init(jax.random.PRNGKey(seed), coords[:1], params_in[:1])
     tx = optax.adam(cfg["Learning Rate"])
     opt_state = tx.init(p0)
@@ -76,9 +77,14 @@ def run_freegsnke(config: dict | None = None, seed: int = 0, verbose: bool = Tru
     pf = jnp.asarray(pf)
 
     n_train = cfg["n_train"]
-    model = ConvAutoencoder(n_params=pf.shape[1])
-    params = _train_cae(model, coords_e[:n_train], pf[:n_train], psi_e[:n_train],
-                        cfg, seed, verbose)
+    # the reference names two interchangeable surrogates: the inline CAE
+    # (`GS_CP.py:139-194`) and `Neural_PDE.Models.INR` (:48)
+    if cfg.get("Model", "CAE").upper() == "INR":
+        model = INR(n_params=pf.shape[1])
+    else:
+        model = ConvAutoencoder(n_params=pf.shape[1])
+    params = _train_surrogate(model, coords_e[:n_train], pf[:n_train],
+                              psi_e[:n_train], cfg, seed, verbose)
 
     pred_e = model.apply(params, coords_e, pf)
     mse = float(jnp.mean((pred_e - psi_e) ** 2))
@@ -100,7 +106,7 @@ def run_freegsnke(config: dict | None = None, seed: int = 0, verbose: bool = Tru
                "coverage_marginal": marg["coverage"],
                "coverage_joint": joint["coverage"]}
     if verbose:
-        print(f"CAE MSE {mse:.3e}")
+        print(f"{type(model).__name__} MSE {mse:.3e}")
         for a, c1, c2 in zip(results["alphas"], marg["coverage"], joint["coverage"]):
             print(f"alpha={a:.2f}  marginal={c1:.3f}  joint={c2:.3f}")
     return results

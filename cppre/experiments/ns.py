@@ -52,6 +52,13 @@ def gen_data(cfg: dict, n: int, seed: int = 0):
     n_frames = int((cfg["tEnd"] - cfg["tStart"]) / cfg["dt"] / cfg["t_slice"]) + 1
     bytes_per_sim = n_frames * cfg["N"] ** 2 * 4 * 4  # 4 stored fields, f32
     chunk = int(cfg.get("solver_chunk", max(1, int(4e9) // bytes_per_sim)))
+    # keep every solver vmap batch shape-identical: a final partial chunk
+    # would run the tail sims at a different batch shape (subtly different
+    # reduction/rounding order on TPU), a weak exchangeability asymmetry in
+    # the generated data. Shrink chunk to the largest divisor of n <= chunk.
+    chunk = min(chunk, n)
+    while n % chunk:
+        chunk -= 1
     chunks = []
     for i in range(0, n, chunk):
         out = sim.solve_batch(params[i : i + chunk])

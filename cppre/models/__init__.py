@@ -6,6 +6,9 @@ Base_FNO.py` — in idiomatic flax.linen with TPU-friendly spectral layers
 (split real/imaginary einsums instead of complex math).
 """
 
+from .cae import ConvAutoencoder
 from .fno import FNO1d, FNO2d, SpectralConv1d, SpectralConv2d
+from .inr import INR
 
-__all__ = ["FNO1d", "FNO2d", "SpectralConv1d", "SpectralConv2d"]
+__all__ = ["FNO1d", "FNO2d", "SpectralConv1d", "SpectralConv2d",
+           "ConvAutoencoder", "INR"]

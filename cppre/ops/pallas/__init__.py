@@ -8,6 +8,11 @@ stencil taps as register shifts, emit the interior-cropped result (and
 optionally |.| for nonconformity scores) without intermediate HBM writes.
 """
 
+from .flat_kernels import (
+    mhd_joint_cp_scores_flat,
+    ns_joint_cp_scores_flat,
+    wave_joint_cp_scores_flat,
+)
 from .stencil_kernels import (
     fused_stencil_residual,
     mhd_induction_joint_cp_scores_fused,
@@ -21,6 +26,9 @@ from .stencil_kernels import (
 
 __all__ = [
     "fused_stencil_residual",
+    "mhd_joint_cp_scores_flat",
+    "ns_joint_cp_scores_flat",
+    "wave_joint_cp_scores_flat",
     "mhd_induction_joint_cp_scores_fused",
     "mhd_induction_residual_fused",
     "mhd_residual_fused",

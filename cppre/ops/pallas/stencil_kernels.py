@@ -181,6 +181,33 @@ def _vmem_pad(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+# Empirical VMEM ceiling (scripts/probe_vmem.py): this v5e grants >= 120 MiB
+# of scoped VMEM (the chip has 128 MiB); Mosaic's DEFAULT limit is ~16 MiB,
+# so kernels sized above that must raise `vmem_limit_bytes` explicitly.
+# Round 1 guarded at 14 MiB and routed big shapes to composed paths — that
+# left ~8x the budget (and the paired one-pass kernel's ~30% HBM-traffic
+# saving) on the table.
+_VMEM_CAP = 100 * 1024 * 1024
+
+
+_VMEM_DEFAULT = 14 * 1024 * 1024
+
+
+def _vmem_params(est_bytes: int):
+    """CompilerParams raising the scoped-VMEM limit to fit `est_bytes`.
+
+    Only raises when the estimate exceeds Mosaic's default budget: passing
+    an explicit limit changes XLA's stack-allocation decisions and can OOM
+    kernels that compile fine under the default (observed with the
+    whole-output-on-stack placement at the NS residual shape)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if est_bytes <= _VMEM_DEFAULT:
+        return None
+    limit = min(int(est_bytes * 1.25) + (2 << 20), 126 * 1024 * 1024)
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
+
+
 def _batched_residual_fused(fields, math_fn, interpret: bool | None):
     """Grid-over-batch pallas_call: one whole-trajectory block per program,
     `math_fn([nvar, nt, nx, ny]) -> [nt-2, nx-2, ny-2]` interior residual.
@@ -197,11 +224,12 @@ def _batched_residual_fused(fields, math_fn, interpret: bool | None):
             return jax.vmap(math_fn)(fields)
         block = nvar * nt * _vmem_pad(nx, 8) * _vmem_pad(ny, 128) * 4
         out_b = (nt - 2) * _vmem_pad(nx - 2, 8) * _vmem_pad(ny - 2, 128) * 4
-        if 2 * block + 2 * out_b > 14 * 1024 * 1024:
+        vmem_est = 2 * block + 2 * out_b
+        if vmem_est > _VMEM_CAP:
             import warnings
 
             warnings.warn(
-                f"fused residual block ({2 * block + 2 * out_b >> 20} MiB "
+                f"fused residual block ({vmem_est >> 20} MiB "
                 f"double-buffered) exceeds VMEM; using the XLA lowering "
                 f"(same math) for shape {fields.shape}", stacklevel=3)
             return jax.vmap(math_fn)(fields)
@@ -213,6 +241,8 @@ def _batched_residual_fused(fields, math_fn, interpret: bool | None):
     def kernel_fn(in_ref, out_ref):
         out_ref[0] = math_fn(in_ref[0])
 
+    est = (2 * nvar * nt * _vmem_pad(nx, 8) * _vmem_pad(ny, 128)
+           + 2 * (nt - 2) * _vmem_pad(nx - 2, 8) * _vmem_pad(ny - 2, 128)) * 4
     return pl.pallas_call(
         kernel_fn,
         out_shape=jax.ShapeDtypeStruct((bs,) + out_shape, fields.dtype),
@@ -221,6 +251,7 @@ def _batched_residual_fused(fields, math_fn, interpret: bool | None):
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1,) + out_shape, lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=_vmem_params(est),
         interpret=interpret,
     )(fields)
 
@@ -335,15 +366,24 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None):
         diff = ro - rp
         return diff, jnp.sum(diff, axis=0), jnp.sum(diff**2, axis=0)
 
-    # VMEM budget: two double-buffered input blocks + out + stats must fit
-    # in ~16 MB scoped vmem; pad nx to sublanes (8) and ny to lanes (128).
+    # VMEM budget: two double-buffered input blocks + diff out + stats. The
+    # v5e grants ~120 MiB scoped VMEM (probe_vmem.py), so the paired
+    # one-pass kernel fits all flagship shapes when `vmem_limit_bytes` is
+    # raised; only truly huge shapes route to the composed path.
     pad = lambda v, m: -(-v // m) * m
     block_bytes = nvar * nt * pad(nx, 8) * pad(ny, 128) * 4
-    vmem_est = 2 * 2 * block_bytes + 3 * (nt * pad(nx, 8) * pad(ny, 128) * 4)
+    out_bytes = (nt - 2) * pad(nx - 2, 8) * pad(ny - 2, 128) * 4
+    vmem_est = 2 * 2 * block_bytes + 4 * out_bytes
     if interpret is None:
         if not _on_tpu():
             return _xla_path()
-        if vmem_est > 14 * 1024 * 1024:
+        # Routing note (r2, scripts/bench_paired.py): the paired kernel DOES
+        # fit big shapes once vmem_limit is raised (the chip has ~128 MiB),
+        # but measured 0.91x vs the composed path at the NS/MHD flagship
+        # shapes — the pipeline is NOT bandwidth-bound there (see
+        # BASELINE.md roofline), so fewer bytes does not mean faster. Keep
+        # composed above the default budget.
+        if vmem_est > _VMEM_DEFAULT:
             return _composed_path()
         interpret = False
 
@@ -384,6 +424,7 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None):
             stat_spec,
             stat_spec,
         ),
+        compiler_params=_vmem_params(vmem_est),
         interpret=interpret,
     )(truth, prediction)
 

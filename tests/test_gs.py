@@ -71,3 +71,38 @@ def test_freegsnke_pipeline_coverage():
     # marginal CP on (true, pred) residual pairs: diagonal within noise
     assert np.mean(np.abs(out["coverage_marginal"] - ideal)) < 0.15
     assert np.all(np.isfinite(out["coverage_joint"]))
+
+
+def test_inr_shapes_and_conditioning():
+    """`Neural_PDE.Models.INR` rebuild (VERDICT r2 item 4): conditioned
+    coordinate MLP with the same call signature as the CAE."""
+    from cppre.models.inr import INR
+
+    m = INR(n_params=8, width=32, depth=2, n_freqs=4)
+    c = jnp.ones((2, 2, 16, 16))
+    p = jnp.asarray(np.random.default_rng(0).random((2, 8)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), c, p)
+    out = m.apply(params, c, p)
+    assert out.shape == (2, 1, 16, 16)
+    # conditioning matters
+    out2 = m.apply(params, c, 2.0 * p)
+    assert float(jnp.abs(out - out2).max()) > 0
+    # coordinate network: different coords give different psi
+    rng = np.random.default_rng(1)
+    c2 = jnp.asarray(rng.random(c.shape), jnp.float32)
+    out3 = m.apply(params, c2, p)
+    assert float(jnp.abs(out - out3).max()) > 0
+
+
+def test_freegsnke_pipeline_inr_surrogate():
+    """`run_freegsnke` with the INR surrogate (cfg Model='INR'): same CP
+    flow, coverage diagonal within noise — the reference's alternative
+    surrogate path (`FreeGSNKE/GS_CP.py:48`)."""
+    from cppre.experiments.gs import run_freegsnke
+
+    out = run_freegsnke(config={"n_total": 120, "n_train": 60, "Epochs": 60,
+                                "Model": "INR", "NR": 32, "NZ": 32},
+                        seed=0, verbose=False)
+    ideal = 1 - out["alphas"]
+    assert np.mean(np.abs(out["coverage_marginal"] - ideal)) < 0.15
+    assert np.all(np.isfinite(out["coverage_joint"]))

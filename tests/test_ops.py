@@ -24,7 +24,10 @@ from cppre.ops import (
     stencil_time_space,
     embed_kernel_3d,
 )
-from cppre.ops.findiff_matrix import finite_difference_matrix_2d
+from cppre.ops.findiff_matrix import (
+    finite_difference_matrix_1d,
+    finite_difference_matrix_2d,
+)
 
 
 def test_stencil_tables():
@@ -404,3 +407,50 @@ def test_fftconv_module_wrappers():
 
     with pytest.raises(ValueError):
         FFTConv2d(in_channels=5, out_channels=4, kernel_size=3, groups=2)
+
+
+def test_integrate_matches_dense_matrix_inverse():
+    """Deconvolution cross-check vs dense linear algebra (VERDICT r2 item 5;
+    reference `Utils/FinDiff_MM.py:100` + `Tests/MM_FinDiff.py`): recover u
+    from the residual two independent ways — `np.linalg.inv` of the dense FD
+    operator matrix, and `spectral_integrate`'s eps-regularised FFT
+    deconvolution — and assert they agree away from the boundary (where the
+    zero-extension matrix and the zero-padded circular FFT differ) for
+    kernels whose spectrum is bounded away from the eps nullspace."""
+    # --- 1-D (ConvOps_0d world): SHO-style composite m*D_tt + dt^2*k*I ----
+    n = 64
+    t = np.linspace(0, 4 * np.pi, n)
+    u = np.exp(-((t - 2 * np.pi) ** 2) / 2.0).astype(np.float32)
+    for base in (np.float32([0, 1, 0]) + 0.2 * np.float32([1, -2, 1]),
+                 np.float32([1, -2, 1]) + 5.0 * np.float32([0, 1, 0])):
+        D = ConvOperator0d()
+        D.kernel = jnp.asarray(base)
+        M = finite_difference_matrix_1d(n, base)
+        r = np.asarray(D.spectral_convolution(jnp.asarray(u)[None]))[0]
+        np.testing.assert_allclose(r, M @ u, atol=1e-5)  # forward parity
+        u_mat = np.linalg.inv(M) @ r
+        u_fft = np.asarray(D.integrate(jnp.asarray(r)[None], slice_pad=True))[0]
+        # 0d integrate crops k-1 cells and shifts by one (the reference's
+        # pad-discard quirk, ConvOps_0d.py:200-232): u_fft[i] ~ u[i+1]
+        m = 8
+        a = u_fft[m : len(u_fft) - m]
+        b = u_mat[m + 1 : m + 1 + len(a)]
+        assert np.abs(a - b).max() < 1e-4
+
+    # --- 2-D (ConvOps_1d world): identity + 0.2 * Laplacian --------------
+    nt, nx = 20, 24
+    tt, xx = np.meshgrid(np.linspace(-1, 1, nt), np.linspace(-1, 1, nx),
+                         indexing="ij")
+    u2 = np.exp(-(tt**2 + xx**2) / 0.3).astype(np.float32)
+    ident = np.zeros((3, 3), np.float32)
+    ident[1, 1] = 1.0
+    k2 = ident + 0.2 * np.asarray(stencil_2d(2, 2), np.float32)
+    D2 = ConvOperator1d()
+    D2.kernel = jnp.asarray(k2)
+    M2 = finite_difference_matrix_2d(nt, nx, k2)
+    r2 = np.asarray(D2.spectral_convolution(jnp.asarray(u2)[None]))[0]
+    np.testing.assert_allclose(r2, (M2 @ u2.ravel()).reshape(nt, nx), atol=1e-5)
+    u_mat2 = (np.linalg.inv(M2) @ r2.ravel()).reshape(nt, nx)
+    u_fft2 = np.asarray(D2.integrate(jnp.asarray(r2)[None], slice_pad=True))[0]
+    m = 6  # boundary-leakage margin on the small grid
+    assert np.abs(u_fft2[m:-m, m:-m] - u_mat2[m:-m, m:-m]).max() < 5e-3

@@ -155,3 +155,86 @@ def test_fused_mhd_all_equations_match_pre_mhd(equation, interpret):
     out = mhd_residual_fused(fields, equation=equation, interpret=interpret)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+# --------------------------- flat-layout kernels ---------------------------
+
+
+@pytest.mark.parametrize("interpret", [None, True])
+def test_flat_ns_joint_cp_scores_match_reference_path(interpret):
+    from cppre.cp.inductive import modulation_func, ncf_metric_joint
+    from cppre.ops.pallas import ns_joint_cp_scores_flat
+
+    rng = np.random.default_rng(11)
+    truth = jnp.asarray(rng.standard_normal((6, 3, 8, 16, 24)), jnp.float32)
+    pred = truth + 0.1 * jnp.asarray(rng.standard_normal(truth.shape), jnp.float32)
+    dt, dx, dy, nu = 0.01, 0.02, 0.02, 1e-3
+    pre = PRE_NS(dt, dx, dy, nu=nu)
+    ro, rp = pre.residual_momentum(truth), pre.residual_momentum(pred)
+    mod = modulation_func(ro, rp) + 1e-6
+    expected = ncf_metric_joint(ro, rp, mod)
+    got = ns_joint_cp_scores_flat(truth, pred, dt, dx, dy, nu,
+                                  interpret=interpret)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-3)
+
+
+def test_flat_two_kernel_route_matches_paired(monkeypatch):
+    """Shapes whose paired blocks exceed VMEM route through the residual +
+    diff/stats two-kernel composition — same scores."""
+    from cppre.ops.pallas import flat_kernels as fk
+
+    rng = np.random.default_rng(12)
+    truth = jnp.asarray(rng.standard_normal((5, 3, 8, 16, 20)), jnp.float32)
+    pred = truth + 0.1 * jnp.asarray(rng.standard_normal(truth.shape), jnp.float32)
+    paired = fk.ns_joint_cp_scores_flat(truth, pred, 0.01, 0.02, 0.02, 1e-3,
+                                        interpret=True)
+    monkeypatch.setattr(fk, "_paired_vmem_est", lambda *a: 10**12)
+    twok = fk.ns_joint_cp_scores_flat(truth, pred, 0.01, 0.02, 0.02, 1e-3,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(twok), np.asarray(paired), rtol=1e-6)
+    # and shapes too large for either route fall back to the XLA path
+    monkeypatch.setattr(fk, "_twokernel_vmem_est", lambda *a: 10**12)
+    monkeypatch.setattr(fk, "_on_tpu", lambda: True)
+    # interpret=None + forced routing estimates: must take xla_fallback
+    xla = fk.ns_joint_cp_scores_flat(truth, pred, 0.01, 0.02, 0.02, 1e-3,
+                                     interpret=None)
+    np.testing.assert_allclose(np.asarray(xla), np.asarray(paired), rtol=2e-3)
+
+
+@pytest.mark.parametrize("equation", ["continuity", "momentum", "energy",
+                                      "induction", "gauss"])
+def test_flat_mhd_joint_cp_scores_all_equations(equation):
+    from cppre.cp.inductive import modulation_func, ncf_metric_joint
+    from cppre.ops.pallas import mhd_joint_cp_scores_flat
+    from cppre.residuals.mhd import PRE_MHD
+
+    rng = np.random.default_rng(13)
+    truth = jnp.asarray(rng.standard_normal((5, 6, 8, 12, 16)), jnp.float32)
+    truth = truth.at[:, 0].add(3.0)  # rho away from 0
+    pred = truth + 0.1 * jnp.asarray(rng.standard_normal(truth.shape), jnp.float32)
+    pre = PRE_MHD(0.01, 0.02, 0.02)
+    ro = pre.residual(truth, equation=equation)
+    rp = pre.residual(pred, equation=equation)
+    mod = modulation_func(ro, rp) + 1e-6
+    expected = ncf_metric_joint(ro, rp, mod)
+    got = mhd_joint_cp_scores_flat(truth, pred, equation=equation,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-3)
+
+
+@pytest.mark.parametrize("interpret", [None, True])
+def test_flat_wave_joint_cp_scores_match_reference_path(interpret):
+    from cppre.cp.inductive import modulation_func, ncf_metric_joint
+    from cppre.ops.pallas import wave_joint_cp_scores_flat
+    from cppre.residuals.wave import PRE_Wave
+
+    rng = np.random.default_rng(14)
+    truth = jnp.asarray(rng.standard_normal((6, 8, 16, 24)), jnp.float32)
+    pred = truth + 0.1 * jnp.asarray(rng.standard_normal(truth.shape), jnp.float32)
+    pre = PRE_Wave(0.01, 0.02, c=1.0)
+    ro, rp = pre(truth), pre(pred)
+    mod = modulation_func(ro, rp) + 1e-6
+    expected = ncf_metric_joint(ro, rp, mod)
+    got = wave_joint_cp_scores_flat(truth, pred, pre.D.kernel,
+                                    interpret=interpret)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-3)

@@ -233,3 +233,74 @@ def test_param_shardings_structural_with_report_and_overrides():
     over = fno_param_shardings(params, mesh,
                                overrides={"odd_out": P("tp", None)})
     assert over["odd_out"].spec == P("tp", None)
+
+
+def test_multihost_initialize_plumbing(monkeypatch):
+    """`parallel/multihost.py` flag plumbing (VERDICT r2 item 8): argument
+    forwarding to `jax.distributed.initialize`, the single-process no-op,
+    benign double-init swallowing, and misconfiguration surfacing."""
+    from cppre.parallel import multihost
+
+    calls = []
+
+    def fake_init(coordinator_address=None, num_processes=None, process_id=None):
+        calls.append((coordinator_address, num_processes, process_id))
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+
+    # single-process: no-op, never touches jax.distributed
+    multihost.initialize(num_processes=1)
+    assert calls == []
+
+    # multi-process: arguments forwarded verbatim
+    multihost.initialize("10.0.0.1:1234", 4, 2)
+    assert calls == [("10.0.0.1:1234", 4, 2)]
+
+    # benign double-initialize is swallowed
+    def raise_already(*a):
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_already)
+    multihost.initialize("10.0.0.1:1234", 4, 2)  # no raise
+
+    # any other RuntimeError must surface
+    def raise_other(*a):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_other)
+    with pytest.raises(RuntimeError, match="unreachable"):
+        multihost.initialize("10.0.0.1:1234", 4, 2)
+
+    # explicit-but-invalid configuration (ValueError) surfaces too
+    def raise_value(*a):
+        raise ValueError("bad coordinator address")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_value)
+    with pytest.raises(ValueError, match="bad coordinator"):
+        multihost.initialize("not-an-address", 4, 2)
+    # ...but auto-detected single-host CPU runs (no explicit args) no-op
+    multihost.initialize()
+
+
+@needs_8
+def test_multihost_global_mesh(monkeypatch):
+    from cppre.parallel import multihost
+
+    mesh = multihost.global_mesh(dp=4, tp=2)
+    assert mesh.shape["dp"] == 4 and mesh.shape["tp"] == 2
+
+
+@needs_8
+def test_halo_exceeding_shard_extent_rejected():
+    """ADVICE r1: a kernel halo wider than the local shard extent must be
+    rejected loudly, not silently mis-sliced."""
+    from cppre.parallel.halo import stencil_conv_sharded_2d
+
+    mesh = make_mesh(8, dp=8, tp=1, axis_names=("spx", "_"))
+    # 8 shards of Nx=16 -> local extent 2; a 7-wide kernel has halo 3 > 2
+    field = jnp.ones((1, 4, 16, 8), jnp.float32)
+    k = np.zeros((7, 7, 7), np.float32)
+    k[3, 3, 3] = 1.0
+    with pytest.raises(ValueError, match="halo"):
+        stencil_conv_sharded_2d(field, k, mesh, axes=("spx", "_"),
+                                spatial_axes=(-2, -1))
