@@ -28,7 +28,14 @@ NVAR, NT, NX, NY = 3, 21, 100, 100
 DT, DX, NU = 0.01, 0.01, 0.001
 ALPHA = 0.1
 REPS = 5
-INNER_ITERS = 5  # chained evaluations per dispatch (amortises the host-fetch RPC)
+# Chained evaluations per dispatch: the tunnel costs a FIXED ~28 ms per
+# dispatch (launch + host-fetch sync; `scripts/probe_slope.py`), so the
+# per-call number is work + 28/INNER_ITERS ms. 100 iterations leave
+# ~0.3 ms of amortised overhead on a ~1.3 ms pipeline. The chaining guard
+# lives in `cppre.utils.tpu_bench.chain_calls` (one-element in-place
+# perturbation — the round-1 full-tensor guard added a ~1 ms copy pass per
+# iteration and inflated every published number).
+INNER_ITERS = 100
 
 
 def _synthetic_fields(seed: int = 0):
@@ -47,65 +54,39 @@ def _synthetic_fields(seed: int = 0):
 
 
 def bench_jax(fields, pred):
-    import jax
     import jax.numpy as jnp
 
     from cppre.cp.inductive import calibrate, modulation_func, ncf_metric_joint
     from cppre.residuals.ns import PRE_NS
+    from cppre.utils.tpu_bench import dispatch_time
 
     pre = PRE_NS(DT, DX, DX, nu=NU)
 
-    def make_pipeline(residual):
-        def once(truth, prediction):
-            res_out = residual(truth)
-            res_pred = residual(prediction)
-            mod = modulation_func(res_out, res_pred) + 1e-6
-            scores = ncf_metric_joint(res_out, res_pred, mod)
-            return calibrate(scores, N_CAL, ALPHA)
-
-        @jax.jit
-        def pipeline(truth, prediction):
-            # run INNER_ITERS chained evaluations per dispatch so the
-            # host-fetch sync (an RPC on the remote backend) is amortised;
-            # the carried qhat perturbs the input by ~f32-eps*0 magnitude to
-            # create a data dependency that defeats CSE without changing
-            # the computed value.
-            def body(i, q):
-                return once(truth + q * 1e-30, prediction)
-
-            return jax.lax.fori_loop(0, INNER_ITERS, body, jnp.float32(0.0))
-
-        return pipeline
-
-    xla_pipe = make_pipeline(pre.residual_momentum)
-    # (the Pallas leg is timed only in the subprocess — see _pallas_leg)
+    def once(truth, prediction):
+        res_out = pre.residual_momentum(truth)
+        res_pred = pre.residual_momentum(prediction)
+        mod = modulation_func(res_out, res_pred) + 1e-6
+        scores = ncf_metric_joint(res_out, res_pred, mod)
+        return calibrate(scores, N_CAL, ALPHA)
 
     f = jnp.asarray(fields)
     p = jnp.asarray(pred)
-
-    def timed(pipe):
-        q0 = float(pipe(f, p))  # compile + execute
-        times = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            # force a host fetch of the scalar result: on the remote (axon)
-            # backend block_until_ready returns before execution completes,
-            # so fetching is the only reliable sync point.
-            float(pipe(f, p))
-            times.append(time.perf_counter() - t0)
-        return float(np.mean(times)), q0
-
-    t_xla, q_xla = timed(xla_pipe)
+    t_xla, q_xla = dispatch_time(once, INNER_ITERS, f, p, reps=REPS)
+    # (the Pallas leg is timed only in the subprocess — see _pallas_leg)
     return min(t_xla, _bench_pallas_subprocess(q_xla)) / INNER_ITERS
 
 
 PALLAS_TIMEOUT_S = 360  # strictly below any caller's own timeout (tests: 420)
+PALLAS_TIMEOUT_TPU_S = 700  # remote compile alone can take ~100 s
 
 
 def _bench_pallas_subprocess(q_xla: float, timeout_s: int | None = None) -> float:
     """Time the Pallas pipeline in a subprocess with a hard timeout: the
     remote-compile path for Pallas kernels can hang when the TPU tunnel is
-    degraded, and the bench must never hang the driver.
+    degraded, and the bench must never hang the driver. A failed TPU
+    attempt is retried once — observed failures are transient tunnel
+    degradation, and falling back to the ConvOps XLA leg costs ~12x on the
+    reported number.
 
     The child inherits the parent's RESOLVED platform: a CPU-mode bench run
     (tests) must never send the child to the TPU tunnel."""
@@ -115,28 +96,36 @@ def _bench_pallas_subprocess(q_xla: float, timeout_s: int | None = None) -> floa
 
     import jax
 
+    on_tpu = jax.default_backend() != "cpu"
     if timeout_s is None:
-        timeout_s = PALLAS_TIMEOUT_S
+        timeout_s = PALLAS_TIMEOUT_TPU_S if on_tpu else PALLAS_TIMEOUT_S
     env = dict(os.environ)
     env["CPPRE_BENCH_PLATFORM"] = jax.default_backend()
     if env["CPPRE_BENCH_PLATFORM"] == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
-    try:
-        dims = f"{N_CAL},{NT},{NX},{NY},{REPS},{INNER_ITERS}"
-        out = subprocess.run(
-            [sys.executable, __file__, "--pallas-leg", repr(q_xla), dims],
-            capture_output=True, text=True, timeout=timeout_s, env=env,
-        )
-        for line in out.stdout.splitlines():
-            if line.startswith("PALLAS_T="):
-                return float(line.split("=", 1)[1])
-        # no timing line: distinguish a parity regression from a dead tunnel
-        print(f"bench: pallas leg produced no timing (exit {out.returncode}); "
-              f"stderr tail: {out.stderr[-400:]!r}", file=sys.stderr)
-    except subprocess.TimeoutExpired:
-        print("bench: pallas leg timed out (degraded TPU tunnel?)", file=sys.stderr)
-    except (ValueError, OSError) as e:
-        print(f"bench: pallas leg failed to launch: {e}", file=sys.stderr)
+    attempts = 2 if on_tpu else 1
+    for attempt in range(attempts):
+        try:
+            dims = f"{N_CAL},{NT},{NX},{NY},{REPS},{INNER_ITERS}"
+            out = subprocess.run(
+                [sys.executable, __file__, "--pallas-leg", repr(q_xla), dims],
+                capture_output=True, text=True, timeout=timeout_s, env=env,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("PALLAS_T="):
+                    return float(line.split("=", 1)[1])
+            # no timing line: distinguish a parity regression from a dead tunnel
+            print(f"bench: pallas leg attempt {attempt + 1} produced no timing "
+                  f"(exit {out.returncode}); stderr tail: {out.stderr[-400:]!r}",
+                  file=sys.stderr)
+            if "qhat mismatch" in out.stderr:
+                break  # parity regression — retrying cannot fix it
+        except subprocess.TimeoutExpired:
+            print(f"bench: pallas leg attempt {attempt + 1} timed out "
+                  f"(degraded TPU tunnel?)", file=sys.stderr)
+        except (ValueError, OSError) as e:
+            print(f"bench: pallas leg failed to launch: {e}", file=sys.stderr)
+            break
     return float("inf")  # pallas leg unavailable; XLA number stands
 
 
@@ -154,42 +143,27 @@ def _pallas_leg(q_xla: float):
 
     import jax.numpy as jnp
 
-    from cppre.cp.inductive import calibrate, modulation_func, ncf_metric_joint
-    from cppre.ops.pallas import ns_momentum_residual_fused
+    from cppre.cp.inductive import calibrate
+    from cppre.ops.pallas import ns_joint_cp_scores_fused
+    from cppre.utils.tpu_bench import dispatch_time
 
     fields, pred = _synthetic_fields()
 
     def once(truth, prediction):
-        # whole-block fused residual kernels + XLA-fused stats. Measured
-        # FASTER (3.0 vs 5.7 ms/call) than the one-pass DMA-chunked
-        # diff+moments kernel despite moving ~30% more bytes: the
-        # auto-pipelined whole-trajectory blocks and XLA's fused reductions
-        # run at ~38% of HBM bandwidth, while the manual per-sample chunk
-        # loop is DMA-latency-bound (see BASELINE.md roofline).
-        res_out = ns_momentum_residual_fused(truth, DT, DX, DX, NU)
-        res_pred = ns_momentum_residual_fused(prediction, DT, DX, DX, NU)
-        mod = modulation_func(res_out, res_pred) + 1e-6
-        scores = ncf_metric_joint(res_out, res_pred, mod)
+        # paired one-pass Pallas kernel (raised VMEM limit): truth and
+        # prediction read once, |diff| + cross-batch moments in one grid
+        # pass; slope-harness-measured 1.25 ms vs 1.51 ms for the composed
+        # per-tensor-kernel path at this shape (scripts/probe_slope.py,
+        # BASELINE.md roofline).
+        scores = ns_joint_cp_scores_fused(truth, prediction, DT, DX, DX, NU)
         return calibrate(scores, N_CAL, ALPHA)
 
-    @jax.jit
-    def pipeline(truth, prediction):
-        def body(i, q):
-            return once(truth + q * 1e-30, prediction)
-
-        return jax.lax.fori_loop(0, INNER_ITERS, body, jnp.float32(0.0))
-
     f, p = jnp.asarray(fields), jnp.asarray(pred)
-    q = float(pipeline(f, p))
+    t_mean, q = dispatch_time(once, INNER_ITERS, f, p, reps=REPS)
     # one-pass variance (E[x^2] - E[x]^2) differs from two-pass at ~1e-4 rel
     if abs(q - q_xla) > 1e-3 * max(abs(q_xla), 1e-6):
         raise AssertionError(f"pallas/xla qhat mismatch: {q} vs {q_xla}")
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        float(pipeline(f, p))
-        times.append(time.perf_counter() - t0)
-    print(f"PALLAS_T={float(np.mean(times))}")
+    print(f"PALLAS_T={t_mean}")
 
 
 def bench_torch_cpu(fields, pred):

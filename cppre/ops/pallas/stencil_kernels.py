@@ -377,13 +377,15 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None):
     if interpret is None:
         if not _on_tpu():
             return _xla_path()
-        # Routing note (r2, scripts/bench_paired.py): the paired kernel DOES
-        # fit big shapes once vmem_limit is raised (the chip has ~128 MiB),
-        # but measured 0.91x vs the composed path at the NS/MHD flagship
-        # shapes — the pipeline is NOT bandwidth-bound there (see
-        # BASELINE.md roofline), so fewer bytes does not mean faster. Keep
-        # composed above the default budget.
-        if vmem_est > _VMEM_DEFAULT:
+        # Routing (r2, scripts/probe_slope.py): with the fixed ~28 ms
+        # per-dispatch tunnel overhead subtracted out (slope harness), the
+        # paired one-pass kernel measures 1.25 ms vs the composed path's
+        # 1.51 ms at the NS flagship shape — its ~30% traffic saving wins,
+        # and it fits big shapes once vmem_limit_bytes is raised (the v5e
+        # grants ~120 MiB scoped VMEM, probe_vmem.py). Earlier
+        # "paired is slower" readings were harness artifacts: the chained
+        # CSE guard added a full-tensor add pass per iteration.
+        if vmem_est > _VMEM_CAP:
             return _composed_path()
         interpret = False
 

@@ -1,0 +1,81 @@
+"""TPU timing harness for remote (tunnelled) backends.
+
+Measuring kernels through the axon tunnel has two traps (quantified in
+`scripts/probe_slope.py`, 2026-08-17):
+
+1. A fixed ~28 ms per-DISPATCH overhead (execution launch + the host-fetch
+   sync, which is the only reliable completion signal — `block_until_ready`
+   returns early on this backend). Any per-call number must amortise it
+   over many chained in-graph iterations, or subtract it via a slope fit.
+2. The chained iterations need a data dependency so XLA cannot CSE them or
+   hoist loop-invariant work — but the naive guard `t + q*1e-30`
+   materialises a full extra copy of the tensor every iteration (~0.5-1 ms
+   at these shapes), silently inflating the measured work. The correct
+   guard perturbs ONE element of the loop-carried tensors with
+   `dynamic_update_slice`, which XLA applies in place (measured no-op slope
+   0.009 ms/call).
+
+`chain_calls` builds the corrected chained pipeline; `slope_time` returns
+the per-call work with the fixed overhead cancelled exactly.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["chain_calls", "dispatch_time", "slope_time"]
+
+
+def chain_calls(fn, inner: int):
+    """jit(t, p) running `inner` chained `fn(t, p) -> scalar` evaluations.
+
+    Each iteration perturbs one element of both carried tensors by
+    `q * 1e-30` (q = previous iteration's result): a true data dependency
+    at ~zero cost, so neither CSE nor loop-invariant code motion can elide
+    iterations, and the measured slope is the pipeline's real work."""
+
+    @jax.jit
+    def pipeline(t, p):
+        def body(i, carry):
+            t_c, p_c, q = carry
+            z = (0,) * t_c.ndim
+            bump_t = jax.lax.dynamic_slice(t_c, z, (1,) * t_c.ndim) + q * 1e-30
+            bump_p = jax.lax.dynamic_slice(p_c, z, (1,) * p_c.ndim) + q * 1e-30
+            t_c = jax.lax.dynamic_update_slice(t_c, bump_t, z)
+            p_c = jax.lax.dynamic_update_slice(p_c, bump_p, z)
+            return (t_c, p_c, fn(t_c, p_c))
+
+        return jax.lax.fori_loop(0, inner, body, (t, p, jnp.float32(0.0)))[2]
+
+    return pipeline
+
+
+def dispatch_time(fn, inner: int, t, p, reps: int = 5):
+    """Median wall-clock of one dispatch of `inner` chained calls, synced
+    by host fetch. Returns (median_seconds, first_result)."""
+    pipe = chain_calls(fn, inner)
+    q0 = float(np.asarray(pipe(t, p)).ravel()[0])  # compile + execute
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(np.asarray(pipe(t, p)).ravel()[0])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), q0
+
+
+def slope_time(fn, t, p, inners=(10, 40, 160), reps: int = 5):
+    """Per-call work via the slope of dispatch time over iteration count —
+    the fixed per-dispatch overhead cancels exactly. Returns
+    (work_seconds_per_call, fixed_overhead_seconds, result)."""
+    times, q0 = [], None
+    for inner in inners:
+        tt, q = dispatch_time(fn, inner, t, p, reps)
+        times.append(tt)
+        q0 = q if q0 is None else q0
+    work = (times[-1] - times[0]) / (inners[-1] - inners[0])
+    fixed = times[0] - inners[0] * work
+    return work, fixed, q0

@@ -8,15 +8,14 @@ split-CP quantile) on the real chip:
 * MHD induction      [100, 6, 21, 64, 64]    (`Joint/MHD_Residuals_CP.py`)
 * Wave composite     [200, 21, 64, 64]       (`Joint/Wave_Residuals_CP.py`)
 
-Each timing chains INNER_ITERS in-graph evaluations per dispatch so the
-~15-25 ms tunnel fetch amortises. Prints one JSON line per family.
+Each timing uses the slope harness (cppre.utils.tpu_bench.slope_time):
+dispatches of 10/40/160 chained in-graph evaluations, per-call work taken
+from the slope so the fixed ~28 ms per-dispatch tunnel overhead cancels.
 
 Path resolution at these shapes (see stencil_kernels._joint_cp_diff_stats):
-the paired two-tensor one-pass kernel exceeds VMEM for NS/MHD, so the
-"pallas" rows run the composed path — per-tensor whole-block Pallas
-residual kernels (which DO fit) + XLA-fused moments; the wave row's paired
-kernel fits and runs as a single one-pass Pallas call. The "xla" rows are
-the ConvOps shift-add composition.
+all three families route to the paired one-pass diff+stats kernel (the v5e
+grants ~120 MiB scoped VMEM, so it fits once vmem_limit_bytes is raised).
+The "xla" rows are the ConvOps shift-add composition.
 
 Run from /root/repo:  timeout 2400 python scripts/bench_families.py
 """
@@ -31,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REPS, INNER = 5, 10
+REPS = 5
 ALPHA = 0.1
 
 t0 = time.perf_counter()
@@ -50,25 +49,15 @@ from cppre.residuals.ns import PRE_NS
 from cppre.residuals.wave import PRE_Wave
 
 
-def chain(fn):
-    @jax.jit
-    def pipe(truth, pred):
-        def body(i, q):
-            return jnp.max(fn(truth + q * 1e-30, pred))
+def timed(fn, t, p):
+    """Slope-harness timing (cppre.utils.tpu_bench): per-call work with the
+    fixed ~28 ms per-dispatch tunnel overhead cancelled exactly. The old
+    chained guard `truth + q*1e-30` added a full-tensor copy pass per
+    iteration and inflated every round-1 number (scripts/probe_slope.py)."""
+    from cppre.utils.tpu_bench import slope_time
 
-        return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
-
-    return pipe
-
-
-def timed(pipe, t, p):
-    q0 = float(pipe(t, p))  # compile + run
-    ts = []
-    for _ in range(REPS):
-        s = time.perf_counter()
-        float(pipe(t, p))
-        ts.append(time.perf_counter() - s)
-    return float(np.mean(ts)) / INNER, q0
+    work, fixed, q0 = slope_time(fn, t, p, inners=(10, 40, 160), reps=REPS)
+    return work, q0
 
 
 def xla_scores(residual, eps=1e-6):
@@ -118,8 +107,8 @@ FAMILIES.append(("wave_composite", (200, 21, 64, 64),
 
 for name, shape, xla_fn, pallas_fn in FAMILIES:
     t, p = fields(shape)
-    t_xla, q_x = timed(chain(xla_fn), t, p)
-    t_pal, q_p = timed(chain(pallas_fn), t, p)
+    t_xla, q_x = timed(xla_fn, t, p)
+    t_pal, q_p = timed(pallas_fn, t, p)
     assert abs(q_p - q_x) < 2e-3 * max(abs(q_x), 1e-6), (name, q_p, q_x)
     n_fields = 2 * shape[0]
     print(json.dumps({

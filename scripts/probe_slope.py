@@ -1,0 +1,106 @@
+"""Definitive per-iteration cost via slope: total dispatch wall-clock at
+INNER in {10, 40, 160} chained iterations; slope = true per-iteration work
+(fixed per-dispatch tunnel overhead, ~26-38 ms, cancels exactly).
+
+Harness: both tensors perturbed by a one-element dynamic_update_slice on
+the loop carry each iteration — defeats CSE and loop-invariant hoisting at
+~zero traffic (validated by the no-op slope, which must be ~0).
+
+Run: timeout 1200 python scripts/probe_slope.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cppre.cp.inductive import calibrate
+from cppre.ops.pallas import stencil_kernels as sk
+
+REPS = 5
+ALPHA = 0.1
+SHAPE = (100, 3, 21, 100, 100)
+INNERS = (10, 40, 160)
+
+
+def chain(fn, inner):
+    @jax.jit
+    def pipeline(t, p):
+        def body(i, carry):
+            t_c, p_c, q = carry
+            z = (0,) * t_c.ndim
+            bump_t = jax.lax.dynamic_slice(t_c, z, (1,) * t_c.ndim) + q * 1e-30
+            bump_p = jax.lax.dynamic_slice(p_c, z, (1,) * p_c.ndim) + q * 1e-30
+            t_c = jax.lax.dynamic_update_slice(t_c, bump_t, z)
+            p_c = jax.lax.dynamic_update_slice(p_c, bump_p, z)
+            return (t_c, p_c, fn(t_c, p_c))
+
+        return jax.lax.fori_loop(
+            0, inner, body, (t, p, jnp.float32(0.0)))[2]
+
+    return pipeline
+
+
+def dispatch_time(fn, inner, t, p):
+    pipe = chain(fn, inner)
+    float(np.asarray(pipe(t, p)).ravel()[0])
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(np.asarray(pipe(t, p)).ravel()[0])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def slope(name, fn, t, p):
+    ts = [dispatch_time(fn, inner, t, p) for inner in INNERS]
+    w = (ts[-1] - ts[0]) / (INNERS[-1] - INNERS[0])
+    f = ts[0] - INNERS[0] * w
+    detail = "  ".join(f"N={n}:{tt*1e3:7.1f}ms" for n, tt in zip(INNERS, ts))
+    print(f"{name:22s}: work {w*1e3:7.3f} ms/call  fixed {f*1e3:6.1f} ms   "
+          f"[{detail}]", flush=True)
+    return w
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(rng.standard_normal(SHAPE).astype(np.float32))
+    p = t + 0.01 * jnp.asarray(rng.standard_normal(SHAPE).astype(np.float32))
+
+    nt, nx, ny = SHAPE[2:]
+    math_fn = lambda f: sk._ns_momentum_math(f[0], f[1], f[2], nt, nx, ny,
+                                             0.01, 0.01, 0.01, 1e-3)
+
+    def noop(tt, pp):
+        return jnp.sum(tt[0, 0, 0, 0, :2]) * 1e-30
+
+    def elementwise(tt, pp):
+        # full elementwise pass whose output IS consumed (defeats DCE)
+        return jnp.sum(tt * 1e-30)
+
+    def composed(tt, pp):
+        ro = sk._batched_residual_fused(tt, math_fn, None)
+        rp = sk._batched_residual_fused(pp, math_fn, None)
+        d = ro - rp
+        s, sq = jnp.sum(d, axis=0), jnp.sum(d**2, axis=0)
+        return calibrate(sk._scores_from_diff_stats(d, s, sq, SHAPE[0], 1e-6),
+                         SHAPE[0], ALPHA)
+
+    def paired(tt, pp):
+        d, s, sq = sk._joint_cp_diff_stats(tt, pp, math_fn, False)
+        return calibrate(sk._scores_from_diff_stats(d, s, sq, SHAPE[0], 1e-6),
+                         SHAPE[0], ALPHA)
+
+    slope("no-op body", noop, t, p)
+    slope("elementwise sum(t*c)", elementwise, t, p)
+    slope("composed pipeline", composed, t, p)
+    slope("paired pipeline", paired, t, p)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Training-step roofline for the wave-flagship FNO config (VERDICT r2
+item 7): per-step wall time via the slope harness, XLA's own FLOP estimate,
+achieved TFLOP/s vs the v5e MXU peak, and fields/s.
+
+Config = the wave flagship (`cppre/experiments/wave.py`): FNO2d T_in=1,
+step=1, modes 16x16, width_time 32, batch 50, 64x64 grid, T_out=20 AR
+rollout with remat — the training half of every 2-D experiment's
+wall-clock.
+
+Run: timeout 1200 python scripts/train_roofline.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPS = 5
+INNERS = (2, 8, 32)
+BATCH, NVAR, NX, NY, T_IN, T_OUT, STEP = 50, 1, 64, 64, 1, 20, 1
+# v5e peaks: 197 TFLOP/s bf16 MXU; f32 data here (XLA may upcast-accumulate)
+PEAK_BF16 = 197e12
+
+
+def main():
+    from cppre.models import FNO2d
+    from cppre.train.loops import make_optimizer, make_train_step
+    from cppre.train.losses import lp_loss
+
+    print("backend:", jax.default_backend(), flush=True)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((BATCH, NVAR, NX, NY, T_IN)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((BATCH, NVAR, NX, NY, T_OUT)), jnp.float32)
+
+    model = FNO2d(T_in=T_IN, step=STEP, modes1=16, modes2=16, num_vars=NVAR,
+                  width_time=32)
+    params = model.init(jax.random.PRNGKey(0), a)
+    tx = make_optimizer(5e-3)
+    opt_state = tx.init(params)
+    train_step = make_train_step(model.apply, tx, STEP, T_OUT, lp_loss)
+
+    # XLA's own cost model for one step
+    lowered = jax.jit(lambda p, s, xx, yy: train_step(p, s, xx, yy)[:2]).lower(
+        params, opt_state, a, u)
+    cost = lowered.compile().cost_analysis()
+    flops = float(cost.get("flops", float("nan"))) if cost else float("nan")
+
+    # slope-timed training step: params/opt_state carried -> natural data
+    # dependency, nothing hoistable, fixed dispatch overhead cancels
+    def dispatch(inner):
+        @jax.jit
+        def run(p, s, xx, yy):
+            def body(i, carry):
+                p_c, s_c = carry
+                p_c, s_c, loss, _ = train_step(p_c, s_c, xx, yy)
+                return (p_c, s_c)
+
+            p_f, s_f = jax.lax.fori_loop(0, inner, body, (p, s))
+            return jax.tree_util.tree_leaves(p_f)[0].ravel()[0]
+
+        float(np.asarray(run(params, opt_state, a, u)))
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            float(np.asarray(run(params, opt_state, a, u)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    times = [dispatch(n) for n in INNERS]
+    work = (times[-1] - times[0]) / (INNERS[-1] - INNERS[0])
+    fixed = times[0] - INNERS[0] * work
+    tflops = flops / work / 1e12 if np.isfinite(flops) else float("nan")
+    print(f"train step: {work*1e3:.2f} ms/step (fixed {fixed*1e3:.1f} ms), "
+          f"XLA flops/step {flops:.3e}, achieved {tflops:.1f} TFLOP/s "
+          f"({100*tflops*1e12/PEAK_BF16:.1f}% of bf16 peak), "
+          f"{BATCH/work:.0f} fields/s", flush=True)
+    for n, t in zip(INNERS, times):
+        print(f"  N={n}: {t*1e3:.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

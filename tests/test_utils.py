@@ -119,3 +119,26 @@ def test_experiment_figure_artifacts(tmp_path):
     names = sorted(p.name for p in tmp_path.iterdir())
     assert names == ["Smoke_joint_coverage.pdf", "Smoke_joint_fields.pdf"]
     assert all((tmp_path / n).stat().st_size > 1000 for n in names)
+
+
+def test_tpu_bench_chain_preserves_value_and_times():
+    """`tpu_bench.chain_calls` must not change the computed result (the
+    one-element 1e-30 perturbation is below f32 resolution) and
+    `slope_time` must return a positive per-call work estimate."""
+    import jax.numpy as jnp
+
+    from cppre.utils.tpu_bench import chain_calls, dispatch_time, slope_time
+
+    def fn(t, p):
+        return jnp.sum((t - p) ** 2)
+
+    t = jnp.asarray(np.random.default_rng(0).random((4, 8, 8)), jnp.float32)
+    p = t + 0.1
+    expect = float(fn(t, p))
+    pipe = chain_calls(fn, 7)
+    got = float(np.asarray(pipe(t, p)).ravel()[0])
+    assert abs(got - expect) <= 1e-6 * abs(expect)
+    tm, q0 = dispatch_time(fn, 3, t, p, reps=2)
+    assert tm > 0 and abs(q0 - expect) <= 1e-6 * abs(expect)
+    work, fixed, q1 = slope_time(fn, t, p, inners=(2, 4, 8), reps=2)
+    assert np.isfinite(work) and abs(q1 - expect) <= 1e-6 * abs(expect)
