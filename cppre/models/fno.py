@@ -73,6 +73,84 @@ def _cmul(xr, xi, wr, wi, eq):
     return re, im
 
 
+# ---------------------------------------------------------------------------
+# Truncated DFT as matmuls — the TPU-native spectral transform.
+#
+# jnp.fft on TPU lowers to a generic FFT that dominates the FNO forward
+# (measured 15.7 ms of a 25.6 ms forward at the wave-flagship shape,
+# `scripts/probe_fno_parts.py`), while the model only ever USES modes1 x
+# modes2 low modes. Computing exactly those modes as dense DFT matmuls
+# ([.., N] @ [N, m] per axis) runs on the MXU at ~22x the FFT pair's speed
+# and is mathematically identical to rfft -> truncate -> mix -> zero-pad ->
+# irfft (parity asserted in tests/test_models.py). 'fft' remains available
+# via `spectral_impl` for cross-checking and for large-mode regimes where
+# O(N log N) wins.
+# ---------------------------------------------------------------------------
+
+
+def _dft_basis(n: int, freqs):
+    """cos/sin tables F[x, k] for e^{-2 pi i k x / n} (f64 -> f32)."""
+    import numpy as np
+
+    ang = -2.0 * np.pi * np.outer(np.arange(n), np.asarray(freqs)) / n
+    return (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(np.sin(ang), jnp.float32))
+
+
+def _irfft_weights(n: int, m: int):
+    """Hermitian-expansion weights for a one-sided spectrum of length m:
+    1 for k = 0 (and the Nyquist bin if included), else 2. The sin table is
+    identically 0 at those bins, so their imaginary parts drop exactly as
+    in jnp.fft.irfft."""
+    import numpy as np
+
+    w = np.full(m, 2.0)
+    w[0] = 1.0
+    if n % 2 == 0 and m == n // 2 + 1:
+        w[-1] = 1.0
+    return jnp.asarray(w, jnp.float32)
+
+
+_MM = dict(preferred_element_type=jnp.float32, precision=PRECISION)
+
+
+def _dft_fwd_y(x, ny: int, m2: int):
+    """Real [.., Ny] -> one-sided modes [.., m2] (re, im): 2 matmuls."""
+    cy, sy = _dft_basis(ny, range(m2))
+    return jnp.einsum("...y,ym->...m", x, cy, **_MM), \
+        jnp.einsum("...y,ym->...m", x, sy, **_MM)
+
+
+def _dft_fwd_x(yr, yi, nx: int, freqs):
+    """Complex [.., Nx, m2] -> modes [.., K, m2] over axis -2: 4 matmuls."""
+    cx, sx = _dft_basis(nx, freqs)
+    re = jnp.einsum("...xm,xk->...km", yr, cx, **_MM) \
+        - jnp.einsum("...xm,xk->...km", yi, sx, **_MM)
+    im = jnp.einsum("...xm,xk->...km", yr, sx, **_MM) \
+        + jnp.einsum("...xm,xk->...km", yi, cx, **_MM)
+    return re, im
+
+
+def _dft_inv_x(zr, zi, nx: int, freqs):
+    """Modes [.., K, m2] -> complex [.., Nx, m2] via the conjugate basis
+    (zero-padded full inverse FFT over x, without the 1/Nx factor)."""
+    cx, sx = _dft_basis(nx, freqs)
+    re = jnp.einsum("...km,xk->...xm", zr, cx, **_MM) \
+        + jnp.einsum("...km,xk->...xm", zi, sx, **_MM)
+    im = jnp.einsum("...km,xk->...xm", zi, cx, **_MM) \
+        - jnp.einsum("...km,xk->...xm", zr, sx, **_MM)
+    return re, im
+
+
+def _dft_inv_y(vr, vi, ny: int, m2: int):
+    """One-sided modes [.., m2] -> real [.., Ny] (irfft semantics, without
+    the 1/Ny factor): 2 matmuls with Hermitian weights."""
+    cy, sy = _dft_basis(ny, range(m2))
+    w = _irfft_weights(ny, m2)
+    return jnp.einsum("...m,ym->...y", vr * w, cy, **_MM) \
+        + jnp.einsum("...m,ym->...y", vi * w, sy, **_MM)
+
+
 class SpectralConv2d(nn.Module):
     """2-D Fourier layer: rFFT2 -> per-mode channel mixing -> irFFT2.
 
@@ -87,6 +165,7 @@ class SpectralConv2d(nn.Module):
     num_vars: int
     modes1: int
     modes2: int
+    spectral_impl: str = "dft"  # 'dft' (MXU matmuls, ~22x on TPU) or 'fft'
 
     @nn.compact
     def __call__(self, x):
@@ -100,10 +179,22 @@ class SpectralConv2d(nn.Module):
         w2r = self.param("weights2_re", _uniform_init(scale), wshape)
         w2i = self.param("weights2_im", _uniform_init(scale), wshape)
 
+        eq = "bivxy,iovxy->bovxy"
+        if self.spectral_impl == "dft":
+            # exactly the low-kx and high-kx corner modes, via matmuls
+            freqs = list(range(m1)) + list(range(nx - m1, nx))
+            yr, yi = _dft_fwd_y(x.astype(jnp.float32), ny, m2)
+            xr, xi = _dft_fwd_x(yr, yi, nx, freqs)
+            lo_r, lo_i = _cmul(xr[..., :m1, :], xi[..., :m1, :], w1r, w1i, eq)
+            hi_r, hi_i = _cmul(xr[..., m1:, :], xi[..., m1:, :], w2r, w2i, eq)
+            zr = jnp.concatenate([lo_r, hi_r], axis=-2)
+            zi = jnp.concatenate([lo_i, hi_i], axis=-2)
+            vr, vi = _dft_inv_x(zr, zi, nx, freqs)
+            return _dft_inv_y(vr, vi, ny, m2) / (nx * ny)
+
         x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(-2, -1))
         xr, xi = jnp.real(x_ft), jnp.imag(x_ft)
 
-        eq = "bivxy,iovxy->bovxy"
         lo_r, lo_i = _cmul(xr[..., :m1, :m2], xi[..., :m1, :m2], w1r, w1i, eq)
         hi_r, hi_i = _cmul(xr[..., -m1:, :m2], xi[..., -m1:, :m2], w2r, w2i, eq)
 
@@ -124,6 +215,7 @@ class SpectralConv1d(nn.Module):
     out_channels: int
     num_vars: int
     modes1: int
+    spectral_impl: str = "dft"  # 'dft' (MXU matmuls) or 'fft'
 
     @nn.compact
     def __call__(self, x):
@@ -135,9 +227,14 @@ class SpectralConv1d(nn.Module):
         wr = self.param("weights1_re", _uniform_init(scale), wshape)
         wi = self.param("weights1_im", _uniform_init(scale), wshape)
 
+        eq = "bivx,iovx->bovx"
+        if self.spectral_impl == "dft":
+            xr, xi = _dft_fwd_y(x.astype(jnp.float32), nx, m1)
+            lo_r, lo_i = _cmul(xr, xi, wr, wi, eq)
+            return _dft_inv_y(lo_r, lo_i, nx, m1) / nx
+
         x_ft = jnp.fft.rfft(x.astype(jnp.float32), axis=-1)
         xr, xi = jnp.real(x_ft), jnp.imag(x_ft)
-        eq = "bivx,iovx->bovx"
         lo_r, lo_i = _cmul(xr[..., :m1], xi[..., :m1], wr, wi, eq)
 
         out_shape = (x.shape[0], self.out_channels, self.num_vars, nx // 2 + 1)
@@ -186,10 +283,12 @@ class _FNOBlock2d(nn.Module):
     num_vars: int
     width: int
     dropout_rate: float = 0.0
+    spectral_impl: str = "dft"
 
     @nn.compact
     def __call__(self, x, grid, deterministic: bool = True):
-        x1 = SpectralConv2d(self.width, self.width, self.num_vars, self.modes1, self.modes2)(x)
+        x1 = SpectralConv2d(self.width, self.width, self.num_vars, self.modes1,
+                            self.modes2, spectral_impl=self.spectral_impl)(x)
         x1 = _ChannelMLP(self.width, self.width)(x1)
         if self.dropout_rate > 0.0:
             x1 = nn.Dropout(self.dropout_rate)(x1, deterministic=deterministic)
@@ -202,10 +301,12 @@ class _FNOBlock1d(nn.Module):
     modes1: int
     num_vars: int
     width: int
+    spectral_impl: str = "dft"
 
     @nn.compact
     def __call__(self, x, grid):
-        x1 = SpectralConv1d(self.width, self.width, self.num_vars, self.modes1)(x)
+        x1 = SpectralConv1d(self.width, self.width, self.num_vars, self.modes1,
+                            spectral_impl=self.spectral_impl)(x)
         x1 = _ChannelMLP(self.width, self.width)(x1)
         x2 = _Channel1x1(self.width)(x)
         x3 = _Channel1x1(self.width)(grid)
@@ -228,6 +329,7 @@ class FNO2d(nn.Module):
     width_time: int
     width_vars: int = 0
     dropout_rate: float = 0.0  # > 0 gives FNO_multi2d_Dropout (Dropout_FNO.py:113-188)
+    spectral_impl: str = "dft"  # 'dft' (MXU matmuls) or 'fft' (jnp.fft)
 
     def get_grid(self, shape):
         bs, nv, nx, ny = shape[0], shape[1], shape[2], shape[3]
@@ -250,7 +352,7 @@ class FNO2d(nn.Module):
 
         block = lambda name: _FNOBlock2d(
             self.modes1, self.modes2, self.num_vars, self.width_time,
-            self.dropout_rate, name=name,
+            self.dropout_rate, self.spectral_impl, name=name,
         )
         x0 = block("f0")(x, grid_c, deterministic)
         x = block("f1")(x0, grid_c, deterministic)
@@ -278,6 +380,7 @@ class FNO1d(nn.Module):
     num_vars: int
     width_time: int
     width_vars: int = 0
+    spectral_impl: str = "dft"  # 'dft' (MXU matmuls) or 'fft' (jnp.fft)
 
     def get_grid(self, shape):
         bs, nv, nx = shape[0], shape[1], shape[2]
@@ -292,7 +395,9 @@ class FNO1d(nn.Module):
         x = jnp.transpose(x, (0, 3, 1, 2))  # [B, W, V, Nx]
         grid_c = jnp.transpose(grid, (0, 3, 1, 2))
 
-        block = lambda name: _FNOBlock1d(self.modes1, self.num_vars, self.width_time, name=name)
+        block = lambda name: _FNOBlock1d(self.modes1, self.num_vars,
+                                         self.width_time, self.spectral_impl,
+                                         name=name)
         x0 = block("f0")(x, grid_c)
         x = block("f1")(x0, grid_c)
         x = block("f2")(x, grid_c) + x0

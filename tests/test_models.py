@@ -73,3 +73,30 @@ def test_count_params_positive_and_jit_roundtrip():
     np.testing.assert_allclose(
         np.asarray(jit_apply(p, x)), np.asarray(m.apply(p, x)), atol=1e-6
     )
+
+
+def test_spectral_dft_matches_fft_path():
+    """The TPU-native truncated-DFT-by-matmul spectral path must equal the
+    jnp.fft reference path (same params) to f32 roundoff, including odd
+    grids and the 2*m1 == nx no-overlap corner case."""
+    import jax
+    import jax.numpy as jnp
+
+    from cppre.models import FNO1d, FNO2d
+
+    rng = np.random.default_rng(3)
+    for nx, ny, m in [(16, 16, 4), (32, 25, 8), (16, 16, 8)]:
+        a = jnp.asarray(rng.standard_normal((2, 2, nx, ny, 2)), jnp.float32)
+        kw = dict(T_in=2, step=1, modes1=m, modes2=m, num_vars=2, width_time=8)
+        md = FNO2d(**kw)
+        mf = FNO2d(**kw, spectral_impl="fft")
+        p = md.init(jax.random.PRNGKey(0), a)
+        od, of = md.apply(p, a), mf.apply(p, a)
+        rel = float(jnp.abs(od - of).max() / jnp.abs(of).max())
+        assert rel < 1e-5, (nx, ny, m, rel)
+    a1 = jnp.asarray(rng.standard_normal((2, 1, 40, 2)), jnp.float32)
+    kw1 = dict(T_in=2, step=1, modes1=8, num_vars=1, width_time=8)
+    m1d, m1f = FNO1d(**kw1), FNO1d(**kw1, spectral_impl="fft")
+    p1 = m1d.init(jax.random.PRNGKey(1), a1)
+    rel = float(jnp.abs(m1d.apply(p1, a1) - m1f.apply(p1, a1)).max())
+    assert rel < 1e-5
