@@ -88,16 +88,16 @@ def _cmul(xr, xi, wr, wi, eq):
 # ---------------------------------------------------------------------------
 
 
-def _dft_basis(n: int, freqs):
-    """cos/sin tables F[x, k] for e^{-2 pi i k x / n} (f64 -> f32)."""
+def _dft_basis(n: int, freqs, dtype=jnp.float32):
+    """cos/sin tables F[x, k] for e^{-2 pi i k x / n} (built in f64)."""
     import numpy as np
 
     ang = -2.0 * np.pi * np.outer(np.arange(n), np.asarray(freqs)) / n
-    return (jnp.asarray(np.cos(ang), jnp.float32),
-            jnp.asarray(np.sin(ang), jnp.float32))
+    return (jnp.asarray(np.cos(ang), dtype),
+            jnp.asarray(np.sin(ang), dtype))
 
 
-def _irfft_weights(n: int, m: int):
+def _irfft_weights(n: int, m: int, dtype=jnp.float32):
     """Hermitian-expansion weights for a one-sided spectrum of length m:
     1 for k = 0 (and the Nyquist bin if included), else 2. The sin table is
     identically 0 at those bins, so their imaginary parts drop exactly as
@@ -108,22 +108,22 @@ def _irfft_weights(n: int, m: int):
     w[0] = 1.0
     if n % 2 == 0 and m == n // 2 + 1:
         w[-1] = 1.0
-    return jnp.asarray(w, jnp.float32)
+    return jnp.asarray(w, dtype)
 
 
-_MM = dict(preferred_element_type=jnp.float32, precision=PRECISION)
+_MM = dict(precision=PRECISION)
 
 
 def _dft_fwd_y(x, ny: int, m2: int):
     """Real [.., Ny] -> one-sided modes [.., m2] (re, im): 2 matmuls."""
-    cy, sy = _dft_basis(ny, range(m2))
+    cy, sy = _dft_basis(ny, range(m2), x.dtype)
     return jnp.einsum("...y,ym->...m", x, cy, **_MM), \
         jnp.einsum("...y,ym->...m", x, sy, **_MM)
 
 
 def _dft_fwd_x(yr, yi, nx: int, freqs):
     """Complex [.., Nx, m2] -> modes [.., K, m2] over axis -2: 4 matmuls."""
-    cx, sx = _dft_basis(nx, freqs)
+    cx, sx = _dft_basis(nx, freqs, yr.dtype)
     re = jnp.einsum("...xm,xk->...km", yr, cx, **_MM) \
         - jnp.einsum("...xm,xk->...km", yi, sx, **_MM)
     im = jnp.einsum("...xm,xk->...km", yr, sx, **_MM) \
@@ -134,7 +134,7 @@ def _dft_fwd_x(yr, yi, nx: int, freqs):
 def _dft_inv_x(zr, zi, nx: int, freqs):
     """Modes [.., K, m2] -> complex [.., Nx, m2] via the conjugate basis
     (zero-padded full inverse FFT over x, without the 1/Nx factor)."""
-    cx, sx = _dft_basis(nx, freqs)
+    cx, sx = _dft_basis(nx, freqs, zr.dtype)
     re = jnp.einsum("...km,xk->...xm", zr, cx, **_MM) \
         + jnp.einsum("...km,xk->...xm", zi, sx, **_MM)
     im = jnp.einsum("...km,xk->...xm", zi, cx, **_MM) \
@@ -145,8 +145,8 @@ def _dft_inv_x(zr, zi, nx: int, freqs):
 def _dft_inv_y(vr, vi, ny: int, m2: int):
     """One-sided modes [.., m2] -> real [.., Ny] (irfft semantics, without
     the 1/Ny factor): 2 matmuls with Hermitian weights."""
-    cy, sy = _dft_basis(ny, range(m2))
-    w = _irfft_weights(ny, m2)
+    cy, sy = _dft_basis(ny, range(m2), vr.dtype)
+    w = _irfft_weights(ny, m2, vr.dtype)
     return jnp.einsum("...m,ym->...y", vr * w, cy, **_MM) \
         + jnp.einsum("...m,ym->...y", vi * w, sy, **_MM)
 
@@ -183,7 +183,8 @@ class SpectralConv2d(nn.Module):
         if self.spectral_impl == "dft":
             # exactly the low-kx and high-kx corner modes, via matmuls
             freqs = list(range(m1)) + list(range(nx - m1, nx))
-            yr, yi = _dft_fwd_y(x.astype(jnp.float32), ny, m2)
+            cdt = x.dtype if x.dtype == jnp.float64 else jnp.float32
+            yr, yi = _dft_fwd_y(x.astype(cdt), ny, m2)
             xr, xi = _dft_fwd_x(yr, yi, nx, freqs)
             lo_r, lo_i = _cmul(xr[..., :m1, :], xi[..., :m1, :], w1r, w1i, eq)
             hi_r, hi_i = _cmul(xr[..., m1:, :], xi[..., m1:, :], w2r, w2i, eq)
@@ -229,7 +230,8 @@ class SpectralConv1d(nn.Module):
 
         eq = "bivx,iovx->bovx"
         if self.spectral_impl == "dft":
-            xr, xi = _dft_fwd_y(x.astype(jnp.float32), nx, m1)
+            cdt = x.dtype if x.dtype == jnp.float64 else jnp.float32
+            xr, xi = _dft_fwd_y(x.astype(cdt), nx, m1)
             lo_r, lo_i = _cmul(xr, xi, wr, wi, eq)
             return _dft_inv_y(lo_r, lo_i, nx, m1) / nx
 

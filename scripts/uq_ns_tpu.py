@@ -1,0 +1,55 @@
+"""UQ-method comparison, Navier-Stokes family, on TPU (VERDICT r2 item 6).
+
+Runs the Other_UQ evaluation protocol (`Other_UQ/Evaluation/Eval.py`) for
+all 8 methods with 5 bootstrap resamples of 50 test sims, and merges the
+result into `results_uq.json`, restructured as {family: {method: ...}}
+(the previous flat layout held only the Wave family).
+
+Run: timeout 14000 python scripts/uq_ns_tpu.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+OVERRIDES = {
+    "Epochs": 60,
+    "n_total": 120,
+    "runs": 5,       # bootstrap resamples (reference: 10 x 300 sims)
+    "n_eval": 50,    # sims per resample
+    "samples": 5,    # MC samples per stochastic method
+    "n_ensemble": 3,
+}
+
+
+def main():
+    from cppre.uq.run_eval import run
+
+    t0 = time.perf_counter()
+    res = run("Navier-Stokes", overrides=OVERRIDES, verbose=True)
+    res["_wall_s"] = time.perf_counter() - t0
+    res["_protocol"] = dict(OVERRIDES)
+
+    path = "/root/repo/results_uq.json"
+    existing = json.load(open(path)) if os.path.exists(path) else {}
+    if "Wave" not in existing and "Deterministic" in existing:
+        # migrate the round-1 flat (Wave-only) layout to per-family
+        existing = {"Wave": existing}
+        existing["Wave"]["_protocol"] = {
+            "Epochs": 60, "n_total": 120, "runs": 5, "n_eval": 50,
+            "samples": 5, "note": "round-1 run, see RESULTS.md"}
+    existing["Navier-Stokes"] = res
+    json.dump(existing, open(path, "w"), indent=1)
+    print("wrote", path, flush=True)
+    for m, r in res.items():
+        if isinstance(r, dict) and "l2" in r:
+            print(f"{m:14s} l2 {r['l2'][0]:.3e}+-{r['l2'][1]:.1e}  "
+                  f"cov {r['coverage'][0]:.3f}+-{r['coverage'][1]:.3f}  "
+                  f"t {r['eval_time'][0]:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -190,7 +190,12 @@ def _full_pipeline_dp_parity_body():
     step_8 = make_sharded_train_step(model.apply, tx, step=1, T_out=10,
                                      loss_func=lp_loss, mesh=mesh)
     p8, loss8 = run_steps(step_8, params0, tx.init(params0), a_s, u_s)
-    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-9)
+    # rtol: the DFT-matmul spectral path (r2) has the batch in the matmul
+    # M-dimension, so per-shard tiling rounds differently at machine eps
+    # and compounds over the 30 Adam steps (measured ~1e-8 rel; the FFT
+    # path was per-sample-deterministic and sat at ~1e-12). 1e-6 still
+    # catches any real sharding bug, which would be order-1.
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-6)
     # the core parity claim: sharded training computes the same update.
     # Flax params stay f32 even under x64, so the grad psum's reduction
     # order leaves ~eps_f32 per-leaf noise (measured 3.5e-6 max rel).
