@@ -221,3 +221,53 @@ def test_cp_rollouts_single_batched_call(monkeypatch):
                          "Nx": 32, "Modes": 4, "Width_time": 8,
                          "Batch Size": 4}, verbose=False)
     assert calls == [12], f"cal+pred must roll out together, got calls={calls}"
+
+
+def test_offline_initial_pipeline(tmp_path):
+    """The Expts_initial workflow (`/root/reference/Expts_initial/readme`):
+    saved dataset + pretrained checkpoint -> marginal CP -> residual-bound
+    inversion to solution space. Exercises the checkpoint/norms contract
+    end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from cppre.experiments.initial import run_offline
+    from cppre.experiments.wave import gen_data
+    from cppre.models import FNO2d
+    from cppre.residuals.wave import PRE_Wave
+    from cppre.train.loops import fit
+    from cppre.train.losses import lp_loss
+    from cppre.train.normalizers import MinMaxNormalizer
+    from cppre.utils.checkpoint import save_checkpoint, save_norms
+
+    cfg = {"T_in": 1, "T_out": 10, "Step": 1, "Modes": 4, "Width_time": 8,
+           "Variables": 1, "n_cal": 40, "Nx": 32, "x_min": -1.0,
+           "x_max": 1.0, "tend": 1.0, "c": 1.0, "t_slice": 5}
+    data, dt_eff, dx = gen_data(cfg, 80, seed=3)  # [80, 1, 32, 32, Nt]
+    np.savez(tmp_path / "wave.npz", fields=data)
+
+    # train briefly, save the reference-contract checkpoint + norms
+    a = jnp.asarray(data[..., :1])
+    u = jnp.asarray(data[..., 1:11])
+    in_n, out_n = MinMaxNormalizer(a), MinMaxNormalizer(u)
+    model = FNO2d(T_in=1, step=1, modes1=4, modes2=4, num_vars=1,
+                  width_time=8)
+    p0 = model.init(jax.random.PRNGKey(0), in_n.encode(a[:2]))
+    params = fit(model.apply, p0, in_n.encode(a[:30]), out_n.encode(u[:30]),
+                 in_n.encode(a[:4]), out_n.encode(u[:4]), epochs=10,
+                 batch_size=10, step=1, T_out=10, loss_func=lp_loss,
+                 lr=5e-3, verbose=False)
+    ckpt = save_checkpoint(str(tmp_path / "FNO_Wave_test"), params)
+    norms = save_norms(str(tmp_path / "FNO_Wave_test"), in_n, out_n)
+
+    pre = PRE_Wave(dt_eff, dx, c=1.0)
+    out = run_offline(data=str(tmp_path / "wave.npz"),
+                      residual_fn=pre.__call__, cfg=cfg, ckpt=ckpt,
+                      norms=norms, invert_with=pre.D, verbose=False)
+    ideal = 1 - out["alphas"]
+    assert np.all(out["coverage"] >= ideal - 0.15)
+    lo, up = out["inverted_bounds"]
+    assert lo.shape == up.shape and np.isfinite(lo).all()
+    # the inverted band must actually bracket: upper >= lower everywhere
+    # away from the deconvolution's eps-regularised nullspace artefacts
+    assert (up - lo).mean() > 0
