@@ -61,6 +61,9 @@ def run_offline(*, data, residual_fn, cfg: dict, ckpt: str | None = None,
                   modes2=cfg["Modes"], num_vars=cfg["Variables"],
                   width_time=cfg["Width_time"])
     if params is None:
+        if ckpt is None:
+            raise ValueError("run_offline needs a pretrained surrogate: "
+                             "pass `ckpt` (checkpoint path) or `params`")
         template = model.init(jax.random.PRNGKey(0), in_norm.encode(a_all[:1]))
         params = load_checkpoint(ckpt, template)
     apply_fn = lambda x: model.apply(params, x)
@@ -103,9 +106,12 @@ def run_offline(*, data, residual_fn, cfg: dict, ckpt: str | None = None,
             (res_out[cal] - res_pred[cal])), n_cal, 0.1)
         qf = q10
         if q10.shape != res_pred_full.shape[1:]:
-            # embed the cropped qhat into the full grid (zero halo)
-            qf = jnp.zeros(res_pred_full.shape[1:], q10.dtype)
-            sl = tuple(slice(1, 1 + s) for s in q10.shape)
+            # embed the cropped qhat into the full grid (zero halo); the
+            # per-axis halo is derived from the crop width, not assumed 1
+            full = res_pred_full.shape[1:]
+            halos = [(f - c) // 2 for f, c in zip(full, q10.shape)]
+            qf = jnp.zeros(full, q10.dtype)
+            sl = tuple(slice(h, h + c) for h, c in zip(halos, q10.shape))
             qf = qf.at[sl].set(q10)
         out["inverted_bounds"] = (
             np.asarray(invert_with.integrate(res_pred_full[prd] - qf)),

@@ -52,19 +52,21 @@ def gen_data(cfg: dict, n: int, seed: int = 0):
     n_frames = int((cfg["tEnd"] - cfg["tStart"]) / cfg["dt"] / cfg["t_slice"]) + 1
     bytes_per_sim = n_frames * cfg["N"] ** 2 * 4 * 4  # 4 stored fields, f32
     chunk = int(cfg.get("solver_chunk", max(1, int(4e9) // bytes_per_sim)))
+    chunk = min(chunk, n)
     # keep every solver vmap batch shape-identical: a final partial chunk
     # would run the tail sims at a different batch shape (subtly different
     # reduction/rounding order on TPU), a weak exchangeability asymmetry in
-    # the generated data. Shrink chunk to the largest divisor of n <= chunk.
-    chunk = min(chunk, n)
-    while n % chunk:
-        chunk -= 1
+    # the generated data. Pad the design to a chunk multiple (<= chunk-1
+    # throwaway solves) rather than shrinking chunk, which degenerates to
+    # batch-1 dispatches for divisor-poor n.
+    n_pad = (-n) % chunk
+    params_run = np.concatenate([params, params[: n_pad]]) if n_pad else params
     chunks = []
-    for i in range(0, n, chunk):
-        out = sim.solve_batch(params[i : i + chunk])
+    for i in range(0, len(params_run), chunk):
+        out = sim.solve_batch(params_run[i : i + chunk])
         fields = [np.asarray(f[:, :, ::xs, ::xs]) for f in out[:n_vars]]
         chunks.append(np.stack([np.moveaxis(f, 1, -1) for f in fields], axis=1))
-    data = np.concatenate(chunks, axis=0)
+    data = np.concatenate(chunks, axis=0)[:n]
     dt_eff = cfg["dt"] * cfg["t_slice"]
     dx = cfg["L"] / cfg["N"] * xs
     return data.astype(np.float32), dt_eff, dx

@@ -180,7 +180,13 @@ class SpectralConv2d(nn.Module):
         w2i = self.param("weights2_im", _uniform_init(scale), wshape)
 
         eq = "bivxy,iovxy->bovxy"
-        if self.spectral_impl == "dft":
+        # the dft path sums overlapping low/high kx contributions where the
+        # fft path's .at[].set() would overwrite (2*m1 > nx), and its
+        # Hermitian weights assume a one-sided m2 <= ny//2+1 — route such
+        # configs through the fft reference semantics
+        use_dft = (self.spectral_impl == "dft" and 2 * m1 <= nx
+                   and m2 <= ny // 2 + 1)
+        if use_dft:
             # exactly the low-kx and high-kx corner modes, via matmuls
             freqs = list(range(m1)) + list(range(nx - m1, nx))
             cdt = x.dtype if x.dtype == jnp.float64 else jnp.float32
@@ -229,7 +235,7 @@ class SpectralConv1d(nn.Module):
         wi = self.param("weights1_im", _uniform_init(scale), wshape)
 
         eq = "bivx,iovx->bovx"
-        if self.spectral_impl == "dft":
+        if self.spectral_impl == "dft" and m1 <= nx // 2 + 1:
             cdt = x.dtype if x.dtype == jnp.float64 else jnp.float32
             xr, xi = _dft_fwd_y(x.astype(cdt), nx, m1)
             lo_r, lo_i = _cmul(xr, xi, wr, wi, eq)

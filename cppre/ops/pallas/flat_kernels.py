@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .stencil_kernels import _on_tpu
+from .stencil_kernels import _VMEM_CAP, _on_tpu, _vmem_params
 
 __all__ = [
     "ns_joint_cp_scores_flat",
@@ -78,7 +78,7 @@ def _flat_derivs(nt: int, ny: int, lo: int):
     return I, d_t, d_x, d_y, d_lap
 
 
-def _ns_momentum_flat(f, nt, ny, lo, dt, dx, dy, nu):
+def _ns_momentum_flat(f, nt, ny, lo, dt, dx, dy, nu):  # off == ny
     """NS momentum residual (`Joint/NS_Residuals_CP.py:231-240`) on the flat
     window; same math as `stencil_kernels._ns_momentum_math`."""
     I, d_t, d_x, d_y, d_lap = _flat_derivs(nt, ny, lo)
@@ -129,9 +129,21 @@ def _mhd_flat(equation: str, f, nt, ny, lo):
     raise ValueError(f"unknown MHD equation {equation!r}")
 
 
-def _composite_flat(kernel: np.ndarray, f, nt, ny, lo):
+def _composite_off(kernel: np.ndarray, ny: int) -> int:
+    """Flat-window margin needed by a 3x3x3 kernel: ny for face taps,
+    ny+1 when any corner tap (x and y offset together) is nonzero."""
+    kernel = np.asarray(kernel)
+    off = ny
+    for (it, ix, iy) in itertools.product(range(3), range(3), range(3)):
+        if kernel[it, ix, iy] != 0.0:
+            off = max(off, abs((ix - 1) * ny + (iy - 1)))
+    return off
+
+
+def _composite_flat(kernel: np.ndarray, f, nt, ny, lo, off):
     """Additive composite 3x3x3 stencil (wave `D_tt - (c dt/dx)^2 D_xxyy`,
-    `Joint/Wave_Residuals_CP.py:170-184`) as flat taps."""
+    `Joint/Wave_Residuals_CP.py:170-184`) as flat taps over a window with
+    margin `off` (>= |max tap offset|, so corner taps stay in bounds)."""
     kernel = np.asarray(kernel)
     assert kernel.shape == (3, 3, 3), "flat fusion assumes 3x3x3 stencils"
     a = f[0]
@@ -140,7 +152,8 @@ def _composite_flat(kernel: np.ndarray, f, nt, ny, lo):
         w = float(kernel[it, ix, iy])
         if w == 0.0:
             continue
-        term = _flat_window(a, it - 1, (ix - 1) * ny + (iy - 1), nt, ny, lo) * w
+        s_f = (ix - 1) * ny + (iy - 1)
+        term = a[it : nt - 2 + it, off + s_f : off + s_f + lo] * w
         acc = term if acc is None else acc + term
     return acc
 
@@ -199,6 +212,7 @@ def _flat_paired_absdiff_stats(truth, pred, math_fn, nt, interpret):
             stat_spec,
             stat_spec,
         ),
+        compiler_params=_vmem_params(_paired_vmem_est(nvar, nt, L, lo_len)),
         interpret=interpret,
     )(truth, pred)
 
@@ -225,6 +239,8 @@ def _flat_residual_kernel(fields, math_fn, nt, interpret):
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1,) + out_shape, lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=_vmem_params(
+            _twokernel_vmem_est(nvar, nt, L, out_shape[1])),
         interpret=interpret,
     )(fields)
 
@@ -263,6 +279,8 @@ def _flat_absdiff_stats_from_res(pred, res_out, math_fn, nt, interpret):
             jax.ShapeDtypeStruct(out_shape, pred.dtype),
             jax.ShapeDtypeStruct(out_shape, pred.dtype),
         ),
+        compiler_params=_vmem_params(
+            _twokernel_vmem_est(nvar, nt, L, out_shape[1])),
         grid=(bs,),
         in_specs=[
             pl.BlockSpec((1, nvar, nt, L), lambda b: (b, 0, 0, 0),
@@ -284,12 +302,6 @@ def _flat_absdiff_stats_from_res(pred, res_out, math_fn, nt, interpret):
 # routing + score assembly
 # ---------------------------------------------------------------------------
 
-# Mosaic's scoped-VMEM budget is ~16 MiB/core; leave headroom for program
-# overhead. The paired kernel needs 2 double-buffered input blocks + the
-# diff block + 2 stat blocks resident.
-_VMEM_BUDGET = 14 * 1024 * 1024
-
-
 def _paired_vmem_est(nvar, nt, L, lo_len):
     blk = nvar * _pad_sub(nt) * _pad_lanes(L) * 4
     out = _pad_sub(nt - 2) * _pad_lanes(lo_len) * 4
@@ -303,13 +315,17 @@ def _twokernel_vmem_est(nvar, nt, L, lo_len):
     return 2 * blk + 2 * out + 2 * out + 2 * out
 
 
-def _scores_flat(truth, pred, math_fn, ny, eps, interpret, xla_fallback):
+def _scores_flat(truth, pred, math_fn, ny, eps, interpret, xla_fallback,
+                 off: int | None = None):
     """Common driver: flatten, route by VMEM, assemble masked sup-norm
-    scores. truth/pred [BS, nvar, nt, nx, ny_] 5-D (nvar may be 1)."""
+    scores. truth/pred [BS, nvar, nt, nx, ny_] 5-D (nvar may be 1).
+    `off` is the math_fn's flat-window margin (default ny)."""
     bs, nvar, nt, nx, ny_ = truth.shape
     assert ny_ == ny
+    if off is None:
+        off = ny
     L = nx * ny
-    lo_len = (nx - 2) * ny
+    lo_len = L - 2 * off
 
     if interpret is None:
         if not _on_tpu():
@@ -319,10 +335,10 @@ def _scores_flat(truth, pred, math_fn, ny, eps, interpret, xla_fallback):
     tf = truth.reshape(bs, nvar, nt, L)
     pf = pred.reshape(bs, nvar, nt, L)
 
-    if _paired_vmem_est(nvar, nt, L, lo_len) <= _VMEM_BUDGET:
+    if _paired_vmem_est(nvar, nt, L, lo_len) <= _VMEM_CAP:
         absdiff, s, sq = _flat_paired_absdiff_stats(tf, pf, math_fn, nt,
                                                     interpret)
-    elif _twokernel_vmem_est(nvar, nt, L, lo_len) <= _VMEM_BUDGET:
+    elif _twokernel_vmem_est(nvar, nt, L, lo_len) <= _VMEM_CAP:
         res_out = _flat_residual_kernel(tf, math_fn, nt, interpret)
         absdiff, s, sq = _flat_absdiff_stats_from_res(pf, res_out, math_fn,
                                                       nt, interpret)
@@ -332,9 +348,12 @@ def _scores_flat(truth, pred, math_fn, ny, eps, interpret, xla_fallback):
     n = truth.shape[0]
     mean = s / n
     mod = jnp.sqrt(jnp.maximum(sq / n - mean**2, 0.0)) + eps
-    # mask the y-wrap columns (garbage: they mixed neighbouring x rows)
-    y_idx = jax.lax.broadcasted_iota(jnp.int32, (1, lo_len), 1) % ny
-    valid = (y_idx > 0) & (y_idx < ny - 1)
+    # mask out-of-window cells: flat index f = off + j must sit at an
+    # interior (x, y) — y-wrap columns mixed neighbouring x rows
+    f_idx = jax.lax.broadcasted_iota(jnp.int32, (1, lo_len), 1) + off
+    x_idx, y_idx = f_idx // ny, f_idx % ny
+    valid = ((x_idx >= 1) & (x_idx < nx - 1)
+             & (y_idx > 0) & (y_idx < ny - 1))
     ratio = jnp.where(valid[None], absdiff / mod[None], 0.0)
     return jnp.max(ratio, axis=(1, 2))
 
@@ -391,7 +410,9 @@ def wave_joint_cp_scores_flat(truth, prediction, kernel, eps: float = 1e-6,
     [BS, Nt, Nx, Ny] single-variable trajectories."""
     kernel = np.asarray(kernel)
     bs, nt, nx, ny = truth.shape
-    math_fn = lambda f: _composite_flat(kernel, f, nt, ny, (nx - 2) * ny)
+    off = _composite_off(kernel, ny)
+    lo = nx * ny - 2 * off
+    math_fn = lambda f: _composite_flat(kernel, f, nt, ny, lo, off)
 
     def xla_fallback():
         from .stencil_kernels import wave_joint_cp_scores_fused
@@ -399,4 +420,4 @@ def wave_joint_cp_scores_flat(truth, prediction, kernel, eps: float = 1e-6,
         return wave_joint_cp_scores_fused(truth, prediction, kernel, eps=eps)
 
     return _scores_flat(truth[:, None], prediction[:, None], math_fn, ny,
-                        eps, interpret, xla_fallback)
+                        eps, interpret, xla_fallback, off=off)

@@ -204,7 +204,12 @@ def _vmem_params(est_bytes: int):
 
     if est_bytes <= _VMEM_DEFAULT:
         return None
-    limit = min(int(est_bytes * 1.25) + (2 << 20), 126 * 1024 * 1024)
+    # The estimate counts pipeline blocks only; Mosaic also stack-allocates
+    # the kernel body's vector temporaries (one (nt-2, Lo) tile per live
+    # stencil term — ~10 at the NS momentum shape, measured 24.0M actual vs
+    # 14.6M block estimate). 1.75x + 4 MiB covers the worst observed ratio
+    # (1.64x) with margin.
+    limit = min(int(est_bytes * 1.75) + (4 << 20), 126 * 1024 * 1024)
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 

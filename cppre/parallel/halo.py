@@ -24,6 +24,14 @@ from ..ops.convops import stencil_shift_add
 __all__ = ["stencil_conv_sharded", "stencil_conv_sharded_2d"]
 
 
+def _check_halo(halo: int, size: int, ax: int):
+    if halo > size:
+        raise ValueError(
+            f"stencil halo ({halo}) exceeds the local shard extent ({size}) "
+            f"on axis {ax}: ring exchange only reaches immediate neighbours; "
+            f"use fewer shards or a narrower kernel")
+
+
 def stencil_conv_sharded(field, kernel: np.ndarray, mesh: Mesh,
                          axis: str = "sp", spatial_axis: int = -2):
     """Cross-correlate `field` with a constant stencil, with `spatial_axis`
@@ -45,11 +53,7 @@ def stencil_conv_sharded(field, kernel: np.ndarray, mesh: Mesh,
 
     def local(block):
         idx = lax.axis_index(axis)
-        if halo > block.shape[ax]:
-            raise ValueError(
-                f"stencil halo ({halo}) exceeds the local shard extent "
-                f"({block.shape[ax]}): ring exchange only reaches immediate "
-                f"neighbours; use fewer shards or a narrower kernel")
+        _check_halo(halo, block.shape[ax], ax)
         # exchange halo slabs with ring neighbours
         lo = lax.slice_in_dim(block, 0, halo, axis=ax)                  # my first rows
         hi = lax.slice_in_dim(block, block.shape[ax] - halo, block.shape[ax], axis=ax)
@@ -79,11 +83,7 @@ def _exchange_axis(block, halo: int, ax: int, axis_name: str, n_shards: int):
     neighbours over `axis_name`; global edges get zeros (SAME zero-pad)."""
     idx = lax.axis_index(axis_name)
     size = block.shape[ax]
-    if halo > size:
-        raise ValueError(
-            f"stencil halo ({halo}) exceeds the local shard extent ({size}) "
-            f"on axis {ax}: ring exchange only reaches immediate neighbours; "
-            f"use fewer shards or a narrower kernel")
+    _check_halo(halo, size, ax)
     lo = lax.slice_in_dim(block, 0, halo, axis=ax)
     hi = lax.slice_in_dim(block, size - halo, size, axis=ax)
     left_ghost = lax.ppermute(hi, axis_name,

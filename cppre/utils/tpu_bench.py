@@ -76,6 +76,5 @@ def slope_time(fn, t, p, inners=(10, 40, 160), reps: int = 5):
         tt, q = dispatch_time(fn, inner, t, p, reps)
         times.append(tt)
         q0 = q if q0 is None else q0
-    work = (times[-1] - times[0]) / (inners[-1] - inners[0])
-    fixed = times[0] - inners[0] * work
-    return work, fixed, q0
+    work, fixed = np.polyfit(np.asarray(inners, float), np.asarray(times), 1)
+    return float(work), float(fixed), q0

@@ -4,8 +4,8 @@ fraction on the v5e).
 
 Each bench.py invocation is a fresh process (fresh tunnel session), so the
 spread captures tunnel variance, not just chip variance. The roofline leg
-raises INNER_ITERS so the ~15-25 ms RPC fetch amortises to noise and the
-per-iteration time approaches pure device time.
+uses the slope harness (cppre.utils.tpu_bench.slope_time), which cancels
+the fixed ~28 ms per-dispatch tunnel overhead exactly.
 
 Run from /root/repo:  timeout 3000 python scripts/bench_campaign.py
 """
@@ -17,14 +17,13 @@ import time
 
 N_RUNS = 5
 
-# --- bytes moved per pipeline iteration (winning composition) -------------
-# whole-block fused residual kernels read truth + prediction once and write
-# the two residual tensors; the XLA-fused std pass re-reads both, and the
-# sup-norm-score pass re-reads both again. Stats/scores are KB-scale.
+# --- bytes moved per pipeline iteration (paired one-pass kernel) ----------
+# truth + prediction read once by the paired diff+stats kernel, |diff|
+# written once and re-read by the score pass; stats/scores are KB-scale.
 N_CAL, NVAR, NT, NX, NY = 100, 3, 21, 100, 100
 BYTES_IN = 2 * N_CAL * NVAR * NT * NX * NY * 4
-BYTES_RES = 2 * N_CAL * (NT - 2) * (NX - 2) * (NY - 2) * 4
-BYTES_TOTAL = BYTES_IN + 3 * BYTES_RES
+BYTES_DIFF = N_CAL * (NT - 2) * (NX - 2) * (NY - 2) * 4
+BYTES_TOTAL = BYTES_IN + 2 * BYTES_DIFF
 V5E_HBM_GBS = 819.0  # v5e HBM bandwidth, GB/s
 
 
@@ -52,12 +51,19 @@ def main():
         "n_runs": N_RUNS,
     }), flush=True)
 
-    # --- roofline: amortise the RPC with a long in-graph chain ------------
+    # --- roofline: slope harness (fixed dispatch overhead cancels) --------
     code = (
-        "import bench; bench.REPS, bench.INNER_ITERS = 3, 25;"
+        "import jax.numpy as jnp;"
+        "import bench;"
+        "from cppre.cp.inductive import calibrate;"
+        "from cppre.ops.pallas import ns_joint_cp_scores_fused;"
+        "from cppre.utils.tpu_bench import slope_time;"
         "f, p = bench._synthetic_fields();"
-        "t = bench.bench_jax(f, p);"
-        "print('T_PER_CALL=%.6f' % t)"
+        "fn = lambda t, q: calibrate(ns_joint_cp_scores_fused("
+        "t, q, bench.DT, bench.DX, bench.DX, bench.NU), bench.N_CAL, bench.ALPHA);"
+        "w, fx, _ = slope_time(fn, jnp.asarray(f), jnp.asarray(p),"
+        " inners=(10, 40, 160), reps=3);"
+        "print('T_PER_CALL=%.6f' % w)"
     )
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=2500, cwd="/root/repo")

@@ -2,8 +2,12 @@
 on the real TPU, at the three family flagship shapes.
 
 Usage: timeout 900 python scripts/bench_flat.py [ns|mhd|wave|all]
-Each pipeline is jitted with INNER chained evaluations per dispatch (the
-tunnel's host-fetch RPC is the only reliable sync; chaining amortises it).
+Timing uses the slope harness (cppre.utils.tpu_bench.slope_time), which
+cancels the fixed ~28 ms per-dispatch tunnel overhead; the original
+version of this script used the naive chained guard (see probe_slope.py
+for the correction). Note the flat path's routing also changed in round 2
+(the raised VMEM cap lets the flat PAIRED kernel run at the NS shape,
+where the earlier measurement exercised the two-kernel route).
 """
 
 from __future__ import annotations
@@ -15,32 +19,15 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
-INNER = 25
 REPS = 5
 
 
-def chain(pipe_once):
-    import jax
-    import jax.numpy as jnp
+def timed(pipe_once, t, p):
+    from cppre.utils.tpu_bench import slope_time
 
-    @jax.jit
-    def pipeline(t, p):
-        def body(i, q):
-            return pipe_once(t + q * 1e-30, p)
-
-        return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
-
-    return pipeline
-
-
-def timed(pipe, t, p):
-    q = float(pipe(t, p))  # compile + execute
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        float(pipe(t, p))
-        times.append(time.perf_counter() - t0)
-    return float(np.mean(times)) / INNER, q
+    work, fixed, q = slope_time(pipe_once, t, p, inners=(10, 40, 160),
+                                reps=REPS)
+    return work, q
 
 
 def make_inputs(shape, seed=0):
@@ -66,8 +53,8 @@ def bench_ns():
     def new(tt, pp):
         return calibrate(ns_joint_cp_scores_flat(tt, pp, 0.01, 0.01, 0.01, 1e-3), n, alpha)
 
-    t_old, q_old = timed(chain(old), t, p)
-    t_new, q_new = timed(chain(new), t, p)
+    t_old, q_old = timed(old, t, p)
+    t_new, q_new = timed(new, t, p)
     rel = abs(q_new - q_old) / max(abs(q_old), 1e-9)
     print(f"NS   {shape}: fused {t_old*1e3:7.2f} ms  flat {t_new*1e3:7.2f} ms  "
           f"speedup {t_old/t_new:5.2f}x  qhat rel diff {rel:.2e}", flush=True)
@@ -88,8 +75,8 @@ def bench_mhd():
     def new(tt, pp):
         return calibrate(mhd_joint_cp_scores_flat(tt, pp, "induction"), n, alpha)
 
-    t_old, q_old = timed(chain(old), t, p)
-    t_new, q_new = timed(chain(new), t, p)
+    t_old, q_old = timed(old, t, p)
+    t_new, q_new = timed(new, t, p)
     rel = abs(q_new - q_old) / max(abs(q_old), 1e-9)
     print(f"MHD  {shape}: fused {t_old*1e3:7.2f} ms  flat {t_new*1e3:7.2f} ms  "
           f"speedup {t_old/t_new:5.2f}x  qhat rel diff {rel:.2e}", flush=True)
@@ -112,8 +99,8 @@ def bench_wave():
     def new(tt, pp):
         return calibrate(wave_joint_cp_scores_flat(tt, pp, k), n, alpha)
 
-    t_old, q_old = timed(chain(old), t, p)
-    t_new, q_new = timed(chain(new), t, p)
+    t_old, q_old = timed(old, t, p)
+    t_new, q_new = timed(new, t, p)
     rel = abs(q_new - q_old) / max(abs(q_old), 1e-9)
     print(f"Wave {shape}: fused {t_old*1e3:7.2f} ms  flat {t_new*1e3:7.2f} ms  "
           f"speedup {t_old/t_new:5.2f}x  qhat rel diff {rel:.2e}", flush=True)

@@ -2,6 +2,9 @@
 round-1 composed path, real TPU, flagship shapes.
 
 Run: timeout 900 python scripts/bench_paired.py
+Timing uses the slope harness (cppre.utils.tpu_bench.slope_time); the
+original version used the naive chained guard — see probe_slope.py for the
+correction that flipped this script's verdict (paired wins 1.25 vs 1.51 ms).
 """
 
 import sys
@@ -13,29 +16,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-INNER, REPS = 25, 5
+REPS = 5
 ALPHA = 0.1
 
 
-def chain(pipe_once):
-    @jax.jit
-    def pipeline(t, p):
-        def body(i, q):
-            return pipe_once(t + q * 1e-30, p)
+def timed(pipe_once, t, p):
+    from cppre.utils.tpu_bench import slope_time
 
-        return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
-
-    return pipeline
-
-
-def timed(pipe, t, p):
-    q = float(pipe(t, p))
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        float(pipe(t, p))
-        times.append(time.perf_counter() - t0)
-    return float(np.mean(times)) / INNER, q
+    work, fixed, q = slope_time(pipe_once, t, p, inners=(10, 40, 160),
+                                reps=REPS)
+    return work, q
 
 
 def make_inputs(shape, seed=0):
@@ -47,8 +37,8 @@ def make_inputs(shape, seed=0):
 
 def run_family(name, shape, make_paired, make_composed):
     t, p = make_inputs(shape, hash(name) % 100)
-    t_pair, q_pair = timed(chain(make_paired), t, p)
-    t_comp, q_comp = timed(chain(make_composed), t, p)
+    t_pair, q_pair = timed(make_paired, t, p)
+    t_comp, q_comp = timed(make_composed, t, p)
     rel = abs(q_pair - q_comp) / max(abs(q_comp), 1e-9)
     n_fields = 2 * shape[0]
     print(f"{name:5s} {shape}: composed {t_comp*1e3:7.2f} ms  paired "

@@ -1,11 +1,13 @@
-"""UQ-method comparison, Navier-Stokes family, on TPU (VERDICT r2 item 6).
+"""UQ-method comparison for one family on TPU (VERDICT r2 item 6).
+
+Usage: timeout 14000 python scripts/uq_family_tpu.py [Navier-Stokes|MHD|Wave]
 
 Runs the Other_UQ evaluation protocol (`Other_UQ/Evaluation/Eval.py`) for
 all 8 methods with 5 bootstrap resamples of 50 test sims, and merges the
 result into `results_uq.json`, restructured as {family: {method: ...}}
 (the previous flat layout held only the Wave family).
 
-Run: timeout 14000 python scripts/uq_ns_tpu.py
+Run: timeout 14000 python scripts/uq_family_tpu.py <family>
 """
 
 import json
@@ -25,11 +27,11 @@ OVERRIDES = {
 }
 
 
-def main():
+def main(case: str = "Navier-Stokes"):
     from cppre.uq.run_eval import run
 
     t0 = time.perf_counter()
-    res = run("Navier-Stokes", overrides=OVERRIDES, verbose=True)
+    res = run(case, overrides=OVERRIDES, verbose=True)
     res["_wall_s"] = time.perf_counter() - t0
     res["_protocol"] = dict(OVERRIDES)
 
@@ -41,7 +43,7 @@ def main():
         existing["Wave"]["_protocol"] = {
             "Epochs": 60, "n_total": 120, "runs": 5, "n_eval": 50,
             "samples": 5, "note": "round-1 run, see RESULTS.md"}
-    existing["Navier-Stokes"] = res
+    existing[case] = res
     json.dump(existing, open(path, "w"), indent=1)
     print("wrote", path, flush=True)
     for m, r in res.items():
@@ -52,4 +54,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "Navier-Stokes")

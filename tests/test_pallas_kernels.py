@@ -238,3 +238,26 @@ def test_flat_wave_joint_cp_scores_match_reference_path(interpret):
     got = wave_joint_cp_scores_flat(truth, pred, pre.D.kernel,
                                     interpret=interpret)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-3)
+
+
+def test_flat_wave_scores_corner_tap_kernel():
+    """Kernels with corner taps (x and y offsets together, e.g. a D_xy
+    cross term) need the widened flat-window margin ny+1 — previously an
+    out-of-bounds slice crash."""
+    from cppre.cp.inductive import modulation_func, ncf_metric_joint
+    from cppre.ops.pallas import wave_joint_cp_scores_flat
+    from cppre.ops.convops import direct_conv
+
+    rng = np.random.default_rng(21)
+    truth = jnp.asarray(rng.standard_normal((5, 8, 12, 16)), jnp.float32)
+    pred = truth + 0.1 * jnp.asarray(rng.standard_normal(truth.shape), jnp.float32)
+    k = np.zeros((3, 3, 3), np.float32)
+    k[1, 1, 1] = -2.0
+    k[1, 0, 0] = k[1, 2, 2] = 1.0   # diagonal (corner) taps
+    k[2, 1, 1] = 0.5
+    ro = direct_conv(truth, k)[..., 1:-1, 1:-1, 1:-1]
+    rp = direct_conv(pred, k)[..., 1:-1, 1:-1, 1:-1]
+    mod = modulation_func(ro, rp) + 1e-6
+    expected = ncf_metric_joint(ro, rp, mod)
+    got = wave_joint_cp_scores_flat(truth, pred, k, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-3)
