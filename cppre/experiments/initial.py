@@ -100,10 +100,18 @@ def run_offline(*, data, residual_fn, cfg: dict, ckpt: str | None = None,
             has_boundary = "boundary" in inspect.signature(residual_fn).parameters
         except (TypeError, ValueError):
             has_boundary = False
+        if not has_boundary:
+            import warnings
+
+            warnings.warn(
+                "residual_fn has no `boundary` parameter: the inversion "
+                "stage will deconvolve the residual on its own (possibly "
+                "interior-cropped) grid, not the operator's uncropped "
+                "grid — inverted bounds may differ from the "
+                "Expts_initial contract near the boundary", stacklevel=2)
         res_pred_full = residual_fn(to_ops(pred), boundary=True) \
             if has_boundary else residual_fn(to_ops(pred))
-        q10 = calibrate(jnp.abs(
-            (res_out[cal] - res_pred[cal])), n_cal, 0.1)
+        q10 = calibrate(scores, n_cal, 0.1)
         qf = q10
         if q10.shape != res_pred_full.shape[1:]:
             # embed the cropped qhat into the full grid (zero halo); the

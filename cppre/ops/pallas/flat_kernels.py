@@ -410,14 +410,21 @@ def wave_joint_cp_scores_flat(truth, prediction, kernel, eps: float = 1e-6,
     [BS, Nt, Nx, Ny] single-variable trajectories."""
     kernel = np.asarray(kernel)
     bs, nt, nx, ny = truth.shape
-    off = _composite_off(kernel, ny)
-    lo = nx * ny - 2 * off
-    math_fn = lambda f: _composite_flat(kernel, f, nt, ny, lo, off)
 
     def xla_fallback():
         from .stencil_kernels import wave_joint_cp_scores_fused
 
         return wave_joint_cp_scores_fused(truth, prediction, kernel, eps=eps)
+
+    if kernel.shape != (3, 3, 3):
+        # the flat tap expansion (and _composite_off's margin scan) is
+        # specialised to 3x3x3 composites; wider kernels take the generic
+        # fused/XLA path, which supports any odd kernel
+        return xla_fallback()
+
+    off = _composite_off(kernel, ny)
+    lo = nx * ny - 2 * off
+    math_fn = lambda f: _composite_flat(kernel, f, nt, ny, lo, off)
 
     return _scores_flat(truth[:, None], prediction[:, None], math_fn, ny,
                         eps, interpret, xla_fallback, off=off)

@@ -187,7 +187,14 @@ def _vmem_pad(v: int, m: int) -> int:
 # Round 1 guarded at 14 MiB and routed big shapes to composed paths — that
 # left ~8x the budget (and the paired one-pass kernel's ~30% HBM-traffic
 # saving) on the table.
-_VMEM_CAP = 100 * 1024 * 1024
+_VMEM_HW_LIMIT = 126 * 1024 * 1024
+
+# Route-to-Pallas ceiling: the largest BLOCK estimate whose granted limit
+# (1.75x + 4 MiB, see _vmem_params) still fits under _VMEM_HW_LIMIT.
+# Estimates above this would get a vmem_limit below their real need
+# (body temporaries run up to ~1.64x the block estimate) and fail Mosaic
+# compilation instead of taking the XLA fallback — so route them away.
+_VMEM_CAP = int((_VMEM_HW_LIMIT - (4 << 20)) / 1.75)
 
 
 _VMEM_DEFAULT = 14 * 1024 * 1024
@@ -209,7 +216,7 @@ def _vmem_params(est_bytes: int):
     # stencil term — ~10 at the NS momentum shape, measured 24.0M actual vs
     # 14.6M block estimate). 1.75x + 4 MiB covers the worst observed ratio
     # (1.64x) with margin.
-    limit = min(int(est_bytes * 1.75) + (4 << 20), 126 * 1024 * 1024)
+    limit = min(int(est_bytes * 1.75) + (4 << 20), _VMEM_HW_LIMIT)
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
@@ -489,7 +496,7 @@ def wave_joint_cp_scores_fused(truth, prediction, kernel, eps: float = 1e-6,
     taps = _taps(kernel)
     _, nt, nx, ny = truth.shape
     k = np.asarray(kernel).shape[0]
-    assert k == 3, "joint-CP fusion assumes the reference's 3x3x3 stencils"
+    assert k % 2 == 1, "stencil kernels must have odd extent"
     out_shape = (nt - k + 1, nx - k + 1, ny - k + 1)
     math_fn = lambda f: _valid_shift_add(f[0], taps, out_shape)
     diff, s, sq = _joint_cp_diff_stats(truth[:, None], prediction[:, None],

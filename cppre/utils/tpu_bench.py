@@ -43,13 +43,20 @@ def chain_calls(fn, inner: int):
         def body(i, carry):
             t_c, p_c, q = carry
             z = (0,) * t_c.ndim
-            bump_t = jax.lax.dynamic_slice(t_c, z, (1,) * t_c.ndim) + q * 1e-30
-            bump_p = jax.lax.dynamic_slice(p_c, z, (1,) * p_c.ndim) + q * 1e-30
+            q_s = q.ravel()[0]  # fn may return a (small) array
+            eps_t = (q_s * 1e-30).astype(t_c.dtype)
+            eps_p = (q_s * 1e-30).astype(p_c.dtype)
+            bump_t = jax.lax.dynamic_slice(t_c, z, (1,) * t_c.ndim) + eps_t
+            bump_p = jax.lax.dynamic_slice(p_c, z, (1,) * p_c.ndim) + eps_p
             t_c = jax.lax.dynamic_update_slice(t_c, bump_t, z)
             p_c = jax.lax.dynamic_update_slice(p_c, bump_p, z)
             return (t_c, p_c, fn(t_c, p_c))
 
-        return jax.lax.fori_loop(0, inner, body, (t, p, jnp.float32(0.0)))[2]
+        # seed the carry with fn's own output shape/dtype (f64 under x64
+        # runs) so the fori_loop carry structure matches across iterations
+        out = jax.eval_shape(fn, t, p)
+        q0 = jnp.zeros(out.shape, out.dtype)
+        return jax.lax.fori_loop(0, inner, body, (t, p, q0))[2]
 
     return pipeline
 

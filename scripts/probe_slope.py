@@ -10,7 +10,6 @@ Run: timeout 1200 python scripts/probe_slope.py
 """
 
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -20,6 +19,7 @@ import numpy as np
 
 from cppre.cp.inductive import calibrate
 from cppre.ops.pallas import stencil_kernels as sk
+from cppre.utils.tpu_bench import dispatch_time
 
 REPS = 5
 ALPHA = 0.1
@@ -27,43 +27,15 @@ SHAPE = (100, 3, 21, 100, 100)
 INNERS = (10, 40, 160)
 
 
-def chain(fn, inner):
-    @jax.jit
-    def pipeline(t, p):
-        def body(i, carry):
-            t_c, p_c, q = carry
-            z = (0,) * t_c.ndim
-            bump_t = jax.lax.dynamic_slice(t_c, z, (1,) * t_c.ndim) + q * 1e-30
-            bump_p = jax.lax.dynamic_slice(p_c, z, (1,) * p_c.ndim) + q * 1e-30
-            t_c = jax.lax.dynamic_update_slice(t_c, bump_t, z)
-            p_c = jax.lax.dynamic_update_slice(p_c, bump_p, z)
-            return (t_c, p_c, fn(t_c, p_c))
-
-        return jax.lax.fori_loop(
-            0, inner, body, (t, p, jnp.float32(0.0)))[2]
-
-    return pipeline
-
-
-def dispatch_time(fn, inner, t, p):
-    pipe = chain(fn, inner)
-    float(np.asarray(pipe(t, p)).ravel()[0])
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        float(np.asarray(pipe(t, p)).ravel()[0])
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
-
-
 def slope(name, fn, t, p):
-    ts = [dispatch_time(fn, inner, t, p) for inner in INNERS]
-    w = (ts[-1] - ts[0]) / (INNERS[-1] - INNERS[0])
-    f = ts[0] - INNERS[0] * w
+    # same fit as cppre.utils.tpu_bench.slope_time, kept inline only to
+    # also print the per-INNER dispatch detail
+    ts = [dispatch_time(fn, inner, t, p, REPS)[0] for inner in INNERS]
+    w, f = np.polyfit(np.asarray(INNERS, float), np.asarray(ts), 1)
     detail = "  ".join(f"N={n}:{tt*1e3:7.1f}ms" for n, tt in zip(INNERS, ts))
     print(f"{name:22s}: work {w*1e3:7.3f} ms/call  fixed {f*1e3:6.1f} ms   "
           f"[{detail}]", flush=True)
-    return w
+    return float(w)
 
 
 def main():

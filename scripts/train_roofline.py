@@ -71,8 +71,7 @@ def main():
         return float(np.median(ts))
 
     times = [dispatch(n) for n in INNERS]
-    work = (times[-1] - times[0]) / (INNERS[-1] - INNERS[0])
-    fixed = times[0] - INNERS[0] * work
+    work, fixed = np.polyfit(np.asarray(INNERS, float), np.asarray(times), 1)
     tflops = flops / work / 1e12 if np.isfinite(flops) else float("nan")
     print(f"train step: {work*1e3:.2f} ms/step (fixed {fixed*1e3:.1f} ms), "
           f"XLA flops/step {flops:.3e}, achieved {tflops:.1f} TFLOP/s "

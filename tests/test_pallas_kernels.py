@@ -261,3 +261,44 @@ def test_flat_wave_scores_corner_tap_kernel():
     expected = ncf_metric_joint(ro, rp, mod)
     got = wave_joint_cp_scores_flat(truth, pred, k, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-3)
+
+
+def test_flat_wave_scores_wide_kernel_routes_to_fused():
+    """Non-3x3x3 composites (e.g. a 4th-order 5x5x5 wave stencil) are
+    outside the flat tap expansion: they must route to the generic fused
+    path (any odd kernel) instead of crashing on the 3x3x3 assert."""
+    from cppre.cp.inductive import modulation_func, ncf_metric_joint
+    from cppre.ops.pallas import wave_joint_cp_scores_flat
+    from cppre.ops.convops import direct_conv
+
+    rng = np.random.default_rng(23)
+    truth = jnp.asarray(rng.standard_normal((4, 10, 14, 18)), jnp.float32)
+    pred = truth + 0.1 * jnp.asarray(rng.standard_normal(truth.shape), jnp.float32)
+    k = np.zeros((5, 5, 5), np.float32)
+    # 4th-order accurate D_xx along each axis, additively composed
+    c4 = np.array([-1 / 12, 4 / 3, -5 / 2, 4 / 3, -1 / 12], np.float32)
+    k[:, 2, 2] += c4
+    k[2, :, 2] -= 0.5 * c4
+    k[2, 2, :] -= 0.5 * c4
+    ro = direct_conv(truth, k)[..., 2:-2, 2:-2, 2:-2]
+    rp = direct_conv(pred, k)[..., 2:-2, 2:-2, 2:-2]
+    mod = modulation_func(ro, rp) + 1e-6
+    expected = ncf_metric_joint(ro, rp, mod)
+    got = wave_joint_cp_scores_flat(truth, pred, k, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-3)
+
+
+def test_vmem_cap_consistent_with_granted_limit():
+    """Routing invariant: any estimate admitted to the Pallas path
+    (<= _VMEM_CAP) must receive a vmem_limit covering the worst observed
+    temporaries ratio (1.75x + 4 MiB) WITHIN the hardware ceiling —
+    otherwise shapes in the gap compile with a limit below their real
+    need and fail in Mosaic instead of taking the XLA fallback."""
+    from cppre.ops.pallas.stencil_kernels import (_VMEM_CAP, _VMEM_HW_LIMIT,
+                                                  _vmem_params)
+
+    params = _vmem_params(_VMEM_CAP)
+    assert params is not None
+    limit = params.vmem_limit_bytes
+    assert limit <= _VMEM_HW_LIMIT
+    assert limit >= int(_VMEM_CAP * 1.75)  # granted covers the model ratio

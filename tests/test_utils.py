@@ -142,3 +142,32 @@ def test_tpu_bench_chain_preserves_value_and_times():
     assert tm > 0 and abs(q0 - expect) <= 1e-6 * abs(expect)
     work, fixed, q1 = slope_time(fn, t, p, inners=(2, 4, 8), reps=2)
     assert np.isfinite(work) and abs(q1 - expect) <= 1e-6 * abs(expect)
+
+
+def test_tpu_bench_chain_x64_and_array_outputs():
+    """The fori_loop carry is seeded from fn's own output shape/dtype:
+    f64 scalars (x64 runs) and small-array outputs must both chain
+    without a carry-structure mismatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from cppre.utils.tpu_bench import chain_calls
+
+    with jax.enable_x64(True):
+        t = jnp.asarray(np.random.default_rng(1).random((4, 8)), jnp.float64)
+        p = t + 0.25
+
+        def fn64(tt, pp):
+            return jnp.sum((tt - pp) ** 2)  # f64 scalar
+
+        got = float(np.asarray(chain_calls(fn64, 3)(t, p)).ravel()[0])
+        assert abs(got - float(fn64(t, p))) <= 1e-12 * abs(float(fn64(t, p)))
+
+    t32 = jnp.asarray(np.random.default_rng(2).random((4, 8)), jnp.float32)
+    p32 = t32 + 0.5
+
+    def fn_vec(tt, pp):
+        return jnp.sum((tt - pp) ** 2, axis=1)  # small array output
+
+    got_v = np.asarray(chain_calls(fn_vec, 3)(t32, p32))
+    np.testing.assert_allclose(got_v, np.asarray(fn_vec(t32, p32)), rtol=1e-6)
