@@ -13,9 +13,12 @@ from .checkpoint import save_checkpoint, load_checkpoint, save_norms, load_norms
 from .config import load_config, validate_config
 from .profiling import timer, trace
 from .runlog import Run, NoOpRun
+from .torch_compat import fno_params_from_torch, load_torch_fno
 from .validate import check_finite, check_shape, scrub_nan_sims
 
 __all__ = [
+    "fno_params_from_torch",
+    "load_torch_fno",
     "Benchmark",
     "benchmark",
     "assert_almost_equal",

@@ -69,3 +69,68 @@ def test_fno2d_matches_reference_torch_forward():
         theirs = tm(torch.tensor(x)).numpy()
     assert ours.shape == theirs.shape == (2, 2, 24, 24, 2)
     np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-3)
+
+
+def test_torch_checkpoint_import_2d(tmp_path):
+    """The migration path: a randomly-initialised reference FNO_multi2d
+    state_dict saved with torch.save loads into cppre's FNO2d and the
+    forwards agree — a reference user's trained .pth works unchanged."""
+    from Base_FNO import FNO_multi2d
+
+    from cppre.utils import load_torch_fno
+
+    torch.manual_seed(3)
+    tm = FNO_multi2d(3, 2, 6, 6, 2, 12)
+    tm.eval()
+    path = str(tmp_path / "FNO_ref.pth")
+    torch.save(tm.state_dict(), path)
+
+    model = FNO2d(T_in=3, step=2, modes1=6, modes2=6, num_vars=2,
+                  width_time=12)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 2, 24, 24, 3)).astype(np.float32)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = load_torch_fno(path, template)
+
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = tm(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-3)
+
+
+def test_torch_checkpoint_import_1d():
+    from Base_FNO import FNO_multi1d
+
+    from cppre.models import FNO1d
+    from cppre.utils import fno_params_from_torch
+
+    torch.manual_seed(7)
+    tm = FNO_multi1d(3, 2, 6, 2, width_time=12)
+    tm.eval()
+
+    model = FNO1d(T_in=3, step=2, modes1=6, num_vars=2, width_time=12)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 2, 32, 3)).astype(np.float32)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = fno_params_from_torch(tm.state_dict(), template)
+
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = tm(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-3)
+
+
+def test_torch_import_shape_mismatch_message():
+    """Wrong hyper-parameters must fail loudly with the leaf path, not
+    produce silently-wrong params."""
+    from Base_FNO import FNO_multi2d
+
+    from cppre.utils import fno_params_from_torch
+
+    tm = FNO_multi2d(3, 2, 4, 4, 2, 12)  # modes=4, template expects 6
+    model = FNO2d(T_in=3, step=2, modes1=6, modes2=6, num_vars=2,
+                  width_time=12)
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 2, 24, 24, 3)))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        fno_params_from_torch(tm.state_dict(), template)
