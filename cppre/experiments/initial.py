@@ -11,7 +11,7 @@ back to solution space via deconvolution
 The per-family Marginal/Joint drivers supersede this flow for data-free
 runs; this module is the "bring your own dataset + weights" entry point:
 
-    run_offline(data_path="wave.npz", ckpt="FNO_Wave_run1",
+    run_offline(data="wave.npz", ckpt="FNO_Wave_run1",
                 residual_fn=PRE_Wave(dt, dx).__call__, cfg={...})
 
 Dataset schema: npz with `fields` [Nsim, Nvar, Nx, Ny, Nt] (the JOREK/EFIT
@@ -68,7 +68,7 @@ def run_offline(*, data, residual_fn, cfg: dict, ckpt: str | None = None,
         params = load_checkpoint(ckpt, template)
     apply_fn = lambda x: model.apply(params, x)
 
-    pred_enc, mse, mae = validation_AR(
+    pred_enc, _, _ = validation_AR(
         apply_fn, in_norm.encode(a_all), out_norm.encode(u_all), step, T_out)
     pred = out_norm.decode(pred_enc)
 
@@ -78,6 +78,10 @@ def run_offline(*, data, residual_fn, cfg: dict, ckpt: str | None = None,
     res_pred = residual_fn(to_ops(pred))
 
     cal, prd = slice(0, n_cal), slice(n_cal, None)
+    # metrics convention (matches base2d.run_2d_cp / burgers.py): decoded
+    # space, calibration slice only — never the cal+pred mixture
+    mse = jnp.mean((pred[cal] - u_all[cal]) ** 2)
+    mae = jnp.mean(jnp.abs(pred[cal] - u_all[cal]))
     scores = jnp.abs(res_out[cal] - res_pred[cal])
     if alphas is None:
         alphas = np.arange(0.05, 0.95 + 1e-9, 0.1)

@@ -111,23 +111,26 @@ def _irfft_weights(n: int, m: int, dtype=jnp.float32):
     return jnp.asarray(w, dtype)
 
 
-_MM = dict(precision=PRECISION)
+def _mm():
+    # read the module global at TRACE time (like _cmul and nn.Dense), so
+    # precision sweeps that rebind fno.PRECISION reach the DFT matmuls too
+    return dict(precision=PRECISION)
 
 
 def _dft_fwd_y(x, ny: int, m2: int):
     """Real [.., Ny] -> one-sided modes [.., m2] (re, im): 2 matmuls."""
     cy, sy = _dft_basis(ny, range(m2), x.dtype)
-    return jnp.einsum("...y,ym->...m", x, cy, **_MM), \
-        jnp.einsum("...y,ym->...m", x, sy, **_MM)
+    return jnp.einsum("...y,ym->...m", x, cy, **_mm()), \
+        jnp.einsum("...y,ym->...m", x, sy, **_mm())
 
 
 def _dft_fwd_x(yr, yi, nx: int, freqs):
     """Complex [.., Nx, m2] -> modes [.., K, m2] over axis -2: 4 matmuls."""
     cx, sx = _dft_basis(nx, freqs, yr.dtype)
-    re = jnp.einsum("...xm,xk->...km", yr, cx, **_MM) \
-        - jnp.einsum("...xm,xk->...km", yi, sx, **_MM)
-    im = jnp.einsum("...xm,xk->...km", yr, sx, **_MM) \
-        + jnp.einsum("...xm,xk->...km", yi, cx, **_MM)
+    re = jnp.einsum("...xm,xk->...km", yr, cx, **_mm()) \
+        - jnp.einsum("...xm,xk->...km", yi, sx, **_mm())
+    im = jnp.einsum("...xm,xk->...km", yr, sx, **_mm()) \
+        + jnp.einsum("...xm,xk->...km", yi, cx, **_mm())
     return re, im
 
 
@@ -135,10 +138,10 @@ def _dft_inv_x(zr, zi, nx: int, freqs):
     """Modes [.., K, m2] -> complex [.., Nx, m2] via the conjugate basis
     (zero-padded full inverse FFT over x, without the 1/Nx factor)."""
     cx, sx = _dft_basis(nx, freqs, zr.dtype)
-    re = jnp.einsum("...km,xk->...xm", zr, cx, **_MM) \
-        + jnp.einsum("...km,xk->...xm", zi, sx, **_MM)
-    im = jnp.einsum("...km,xk->...xm", zi, cx, **_MM) \
-        - jnp.einsum("...km,xk->...xm", zr, sx, **_MM)
+    re = jnp.einsum("...km,xk->...xm", zr, cx, **_mm()) \
+        + jnp.einsum("...km,xk->...xm", zi, sx, **_mm())
+    im = jnp.einsum("...km,xk->...xm", zi, cx, **_mm()) \
+        - jnp.einsum("...km,xk->...xm", zr, sx, **_mm())
     return re, im
 
 
@@ -147,8 +150,8 @@ def _dft_inv_y(vr, vi, ny: int, m2: int):
     the 1/Ny factor): 2 matmuls with Hermitian weights."""
     cy, sy = _dft_basis(ny, range(m2), vr.dtype)
     w = _irfft_weights(ny, m2, vr.dtype)
-    return jnp.einsum("...m,ym->...y", vr * w, cy, **_MM) \
-        + jnp.einsum("...m,ym->...y", vi * w, sy, **_MM)
+    return jnp.einsum("...m,ym->...y", vr * w, cy, **_mm()) \
+        + jnp.einsum("...m,ym->...y", vi * w, sy, **_mm())
 
 
 class SpectralConv2d(nn.Module):

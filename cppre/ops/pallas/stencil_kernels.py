@@ -220,22 +220,27 @@ def _vmem_params(est_bytes: int):
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
-def _batched_residual_fused(fields, math_fn, interpret: bool | None):
+def _batched_residual_fused(fields, math_fn, interpret: bool | None,
+                            out_shape=None):
     """Grid-over-batch pallas_call: one whole-trajectory block per program,
-    `math_fn([nvar, nt, nx, ny]) -> [nt-2, nx-2, ny-2]` interior residual.
+    `math_fn([nvar, nt, nx, ny]) -> [*out_shape]` interior residual
+    (default `out_shape` is the 3-wide-stencil crop (nt-2, nx-2, ny-2);
+    wider composite kernels pass their own valid-interior shape).
     Off-TPU (or interpret=None off-device) falls back to vmapped XLA — the
     same math, so parity is by construction. Whole-trajectory blocks too
     large for VMEM (double-buffered input + output must fit ~16 MB/core)
     also fall back to the XLA lowering, with a warning so a perf-sensitive
     caller notices (e.g. MHD at N=128: 8.3 MB padded blocks)."""
     bs, nvar, nt, nx, ny = fields.shape
-    out_shape = (nt - 2, nx - 2, ny - 2)
+    if out_shape is None:
+        out_shape = (nt - 2, nx - 2, ny - 2)
 
     if interpret is None:
         if not _on_tpu():
             return jax.vmap(math_fn)(fields)
         block = nvar * nt * _vmem_pad(nx, 8) * _vmem_pad(ny, 128) * 4
-        out_b = (nt - 2) * _vmem_pad(nx - 2, 8) * _vmem_pad(ny - 2, 128) * 4
+        out_b = (out_shape[0] * _vmem_pad(out_shape[1], 8)
+                 * _vmem_pad(out_shape[2], 128) * 4)
         vmem_est = 2 * block + 2 * out_b
         if vmem_est > _VMEM_CAP:
             import warnings
@@ -254,7 +259,8 @@ def _batched_residual_fused(fields, math_fn, interpret: bool | None):
         out_ref[0] = math_fn(in_ref[0])
 
     est = (2 * nvar * nt * _vmem_pad(nx, 8) * _vmem_pad(ny, 128)
-           + 2 * (nt - 2) * _vmem_pad(nx - 2, 8) * _vmem_pad(ny - 2, 128)) * 4
+           + 2 * out_shape[0] * _vmem_pad(out_shape[1], 8)
+           * _vmem_pad(out_shape[2], 128)) * 4
     return pl.pallas_call(
         kernel_fn,
         out_shape=jax.ShapeDtypeStruct((bs,) + out_shape, fields.dtype),
@@ -347,14 +353,17 @@ def wave_residual_fused(field, kernel, interpret: bool | None = None):
 # fused joint-CP statistics: diff residual + cross-batch moments in one pass
 # ---------------------------------------------------------------------------
 
-def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None):
+def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
+                         out_shape=None):
     """One-pass joint-CP front end: reads the truth and prediction field
     tensors once, emits (diff_residual [BS, *out], sum [*out], sumsq [*out])
     where diff = PRE(truth) - PRE(pred) and the moment accumulators give the
     per-cell modulation std = sqrt(sumsq/N - (sum/N)^2).
 
-    `math_fn([nvar, nt, nx, ny]) -> [nt-2, nx-2, ny-2]` is the per-sample
-    residual (NS momentum, MHD induction, wave composite, ...).
+    `math_fn([nvar, nt, nx, ny]) -> [*out_shape]` is the per-sample
+    residual (NS momentum, MHD induction, wave composite, ...); the default
+    `out_shape` is the 3-wide-stencil interior crop (nt-2, nx-2, ny-2),
+    wider composite kernels pass their own valid shape.
 
     Exploits the TPU grid's SEQUENTIAL execution: the moment outputs map to
     the same block for every grid step, so programs accumulate across the
@@ -362,7 +371,8 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None):
     round-trips vs computing res_out/res_pred separately and reducing with
     jnp.std."""
     bs, nvar, nt, nx, ny = truth.shape
-    out_shape = (nt - 2, nx - 2, ny - 2)
+    if out_shape is None:
+        out_shape = (nt - 2, nx - 2, ny - 2)
 
     def _xla_path():
         f = jax.vmap(math_fn)
@@ -373,8 +383,8 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None):
         # the measured-fastest big-shape strategy (BASELINE.md roofline):
         # per-tensor whole-block fused residual kernels (which still run as
         # Pallas when a SINGLE trajectory fits VMEM) + XLA-fused moments
-        ro = _batched_residual_fused(truth, math_fn, None)
-        rp = _batched_residual_fused(prediction, math_fn, None)
+        ro = _batched_residual_fused(truth, math_fn, None, out_shape)
+        rp = _batched_residual_fused(prediction, math_fn, None, out_shape)
         diff = ro - rp
         return diff, jnp.sum(diff, axis=0), jnp.sum(diff**2, axis=0)
 
@@ -384,7 +394,7 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None):
     # raised; only truly huge shapes route to the composed path.
     pad = lambda v, m: -(-v // m) * m
     block_bytes = nvar * nt * pad(nx, 8) * pad(ny, 128) * 4
-    out_bytes = (nt - 2) * pad(nx - 2, 8) * pad(ny - 2, 128) * 4
+    out_bytes = out_shape[0] * pad(out_shape[1], 8) * pad(out_shape[2], 128) * 4
     vmem_est = 2 * 2 * block_bytes + 4 * out_bytes
     if interpret is None:
         if not _on_tpu():
@@ -500,7 +510,7 @@ def wave_joint_cp_scores_fused(truth, prediction, kernel, eps: float = 1e-6,
     out_shape = (nt - k + 1, nx - k + 1, ny - k + 1)
     math_fn = lambda f: _valid_shift_add(f[0], taps, out_shape)
     diff, s, sq = _joint_cp_diff_stats(truth[:, None], prediction[:, None],
-                                       math_fn, interpret)
+                                       math_fn, interpret, out_shape)
     return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
 
 

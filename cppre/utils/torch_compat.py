@@ -133,9 +133,18 @@ def load_torch_fno(path: str, template) -> dict:
     holding one under a 'model'/'state_dict' key."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=True)
-    if hasattr(obj, "state_dict"):
-        obj = obj.state_dict()
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # torch raises UnpicklingError subtypes here
+        # weights_only=True refuses pickled nn.Module objects (whole-model
+        # saves); loading them would execute arbitrary pickle code, so we
+        # don't fall back — tell the user how to convert instead
+        raise ValueError(
+            f"{path!r} is not a plain state_dict checkpoint (torch "
+            f"weights_only load failed: {e}). If it is a whole-model "
+            f"`torch.save(model)` file, re-save it as "
+            f"`torch.save(model.state_dict(), ...)` in an environment "
+            f"that trusts the file, then retry.") from e
     for key in ("state_dict", "model"):
         if isinstance(obj, dict) and key in obj and not hasattr(
                 obj[key], "detach"):

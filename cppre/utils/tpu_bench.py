@@ -31,56 +31,57 @@ __all__ = ["chain_calls", "dispatch_time", "slope_time"]
 
 
 def chain_calls(fn, inner: int):
-    """jit(t, p) running `inner` chained `fn(t, p) -> scalar` evaluations.
+    """jit(*arrays) running `inner` chained `fn(*arrays) -> scalar`
+    evaluations (any number of array arguments; the flagship pipelines pass
+    two, single-tensor probes pass one).
 
-    Each iteration perturbs one element of both carried tensors by
+    Each iteration perturbs one element of every carried tensor by
     `q * 1e-30` (q = previous iteration's result): a true data dependency
     at ~zero cost, so neither CSE nor loop-invariant code motion can elide
     iterations, and the measured slope is the pipeline's real work."""
 
     @jax.jit
-    def pipeline(t, p):
+    def pipeline(*arrays):
         def body(i, carry):
-            t_c, p_c, q = carry
-            z = (0,) * t_c.ndim
+            *arrs, q = carry
             q_s = q.ravel()[0]  # fn may return a (small) array
-            eps_t = (q_s * 1e-30).astype(t_c.dtype)
-            eps_p = (q_s * 1e-30).astype(p_c.dtype)
-            bump_t = jax.lax.dynamic_slice(t_c, z, (1,) * t_c.ndim) + eps_t
-            bump_p = jax.lax.dynamic_slice(p_c, z, (1,) * p_c.ndim) + eps_p
-            t_c = jax.lax.dynamic_update_slice(t_c, bump_t, z)
-            p_c = jax.lax.dynamic_update_slice(p_c, bump_p, z)
-            return (t_c, p_c, fn(t_c, p_c))
+            bumped = []
+            for a in arrs:
+                z = (0,) * a.ndim
+                eps = (q_s * 1e-30).astype(a.dtype)
+                bump = jax.lax.dynamic_slice(a, z, (1,) * a.ndim) + eps
+                bumped.append(jax.lax.dynamic_update_slice(a, bump, z))
+            return (*bumped, fn(*bumped))
 
         # seed the carry with fn's own output shape/dtype (f64 under x64
         # runs) so the fori_loop carry structure matches across iterations
-        out = jax.eval_shape(fn, t, p)
+        out = jax.eval_shape(fn, *arrays)
         q0 = jnp.zeros(out.shape, out.dtype)
-        return jax.lax.fori_loop(0, inner, body, (t, p, q0))[2]
+        return jax.lax.fori_loop(0, inner, body, (*arrays, q0))[-1]
 
     return pipeline
 
 
-def dispatch_time(fn, inner: int, t, p, reps: int = 5):
+def dispatch_time(fn, inner: int, *arrays, reps: int = 5):
     """Median wall-clock of one dispatch of `inner` chained calls, synced
     by host fetch. Returns (median_seconds, first_result)."""
     pipe = chain_calls(fn, inner)
-    q0 = float(np.asarray(pipe(t, p)).ravel()[0])  # compile + execute
+    q0 = float(np.asarray(pipe(*arrays)).ravel()[0])  # compile + execute
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(np.asarray(pipe(t, p)).ravel()[0])
+        float(np.asarray(pipe(*arrays)).ravel()[0])
         times.append(time.perf_counter() - t0)
     return float(np.median(times)), q0
 
 
-def slope_time(fn, t, p, inners=(10, 40, 160), reps: int = 5):
+def slope_time(fn, *arrays, inners=(10, 40, 160), reps: int = 5):
     """Per-call work via the slope of dispatch time over iteration count —
     the fixed per-dispatch overhead cancels exactly. Returns
     (work_seconds_per_call, fixed_overhead_seconds, result)."""
     times, q0 = [], None
     for inner in inners:
-        tt, q = dispatch_time(fn, inner, t, p, reps)
+        tt, q = dispatch_time(fn, inner, *arrays, reps=reps)
         times.append(tt)
         q0 = q if q0 is None else q0
     work, fixed = np.polyfit(np.asarray(inners, float), np.asarray(times), 1)

@@ -7,7 +7,6 @@ Run: timeout 900 python scripts/probe_copy_layouts.py
 """
 
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -17,36 +16,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-INNER, REPS = 25, 5
+REPS = 5
 BS, NVAR, NT, NX, NY = 100, 3, 21, 100, 100
 
 
-def chain(fn):
-    @jax.jit
-    def pipeline(x):
-        def body(i, acc):
-            return jnp.sum(fn(x + acc * 1e-30).ravel()[:1])
-
-        return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
-
-    return pipeline
-
-
 def timed(name, fn, x, bytes_moved):
-    pipe = chain(fn)
+    """Slope-harness timing (cppre.utils.tpu_bench): the naive full-tensor
+    `x + q*1e-30` CSE guard this probe originally used adds a hidden
+    full-tensor copy per iteration (the round-1 inflation trap)."""
+    from cppre.utils.tpu_bench import slope_time
+
     try:
-        float(pipe(x))
+        work, _fixed, _ = slope_time(fn, x, inners=(5, 15, 45), reps=REPS)
     except Exception as e:
         print(f"{name:34s}: FAILED {str(e).splitlines()[0][:90]}", flush=True)
         return
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        float(pipe(x))
-        times.append(time.perf_counter() - t0)
-    t = float(np.mean(times)) / INNER
-    print(f"{name:34s}: {t*1e3:7.3f} ms  ({bytes_moved/t/1e9:6.1f} GB/s eff)",
-          flush=True)
+    print(f"{name:34s}: {work*1e3:7.3f} ms  "
+          f"({bytes_moved/work/1e9:6.1f} GB/s eff)", flush=True)
 
 
 def copy_kernel(shape, block):

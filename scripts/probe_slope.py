@@ -30,7 +30,7 @@ INNERS = (10, 40, 160)
 def slope(name, fn, t, p):
     # same fit as cppre.utils.tpu_bench.slope_time, kept inline only to
     # also print the per-INNER dispatch detail
-    ts = [dispatch_time(fn, inner, t, p, REPS)[0] for inner in INNERS]
+    ts = [dispatch_time(fn, inner, t, p, reps=REPS)[0] for inner in INNERS]
     w, f = np.polyfit(np.asarray(INNERS, float), np.asarray(ts), 1)
     detail = "  ".join(f"N={n}:{tt*1e3:7.1f}ms" for n, tt in zip(INNERS, ts))
     print(f"{name:22s}: work {w*1e3:7.3f} ms/call  fixed {f*1e3:6.1f} ms   "

@@ -9,7 +9,6 @@ Run: timeout 900 python scripts/probe_xla_pipeline.py
 """
 
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -20,29 +19,20 @@ import numpy as np
 from cppre.cp.inductive import calibrate
 from cppre.ops.pallas import stencil_kernels as sk
 
-INNER, REPS = 25, 5
+REPS = 5
 ALPHA = 0.1
 
 
-def chain(fn):
-    @jax.jit
-    def pipeline(t, p):
-        def body(i, q):
-            return fn(t + q * 1e-30, p)
+def timed(fn, t, p):
+    """Slope-harness timing (cppre.utils.tpu_bench) — see probe_slope.py;
+    the original full-tensor `t + q*1e-30` guard added a hidden copy pass
+    per iteration."""
+    import numpy as np
 
-        return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
+    from cppre.utils.tpu_bench import slope_time
 
-    return pipeline
-
-
-def timed(pipe, t, p):
-    q = float(pipe(t, p))
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        float(pipe(t, p))
-        times.append(time.perf_counter() - t0)
-    return float(np.mean(times)) / INNER, q
+    work, _fixed, q = slope_time(fn, t, p, inners=(5, 15, 45), reps=REPS)
+    return work, float(np.asarray(q).ravel()[0])
 
 
 def make_inputs(shape, seed):
@@ -72,8 +62,8 @@ def pallas_scores_ns(shape, dt, dx, dy, nu):
 
 def run(name, shape, math_fn, pallas_fn):
     t, p = make_inputs(shape, hash(name) % 97)
-    t_x, q_x = timed(chain(xla_scores(math_fn, shape[0])), t, p)
-    t_p, q_p = timed(chain(pallas_fn), t, p)
+    t_x, q_x = timed(xla_scores(math_fn, shape[0]), t, p)
+    t_p, q_p = timed(pallas_fn, t, p)
     rel = abs(q_x - q_p) / max(abs(q_p), 1e-9)
     print(f"{name:5s} {shape}: pallas-route {t_p*1e3:7.2f} ms   pure-XLA "
           f"{t_x*1e3:7.2f} ms  speedup {t_p/t_x:5.2f}x  qhat rel {rel:.1e}",
@@ -119,8 +109,8 @@ def main():
 
     t, p = make_inputs(shape, 7)
     t5, p5 = t[:, None], p[:, None]
-    t_x, q_x = timed(chain(xla_scores(wave_math5, shape[0])), t5, p5)
-    t_p, q_p = timed(chain(wave_pallas), t, p)
+    t_x, q_x = timed(xla_scores(wave_math5, shape[0]), t5, p5)
+    t_p, q_p = timed(wave_pallas, t, p)
     rel = abs(q_x - q_p) / max(abs(q_p), 1e-9)
     print(f"Wave  {shape}: pallas-route {t_p*1e3:7.2f} ms   pure-XLA "
           f"{t_x*1e3:7.2f} ms  speedup {t_p/t_x:5.2f}x  qhat rel {rel:.1e}",

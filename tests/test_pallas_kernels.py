@@ -286,6 +286,15 @@ def test_flat_wave_scores_wide_kernel_routes_to_fused():
     expected = ncf_metric_joint(ro, rp, mod)
     got = wave_joint_cp_scores_flat(truth, pred, k, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-3)
+    # the generic fused path itself must also handle the 5-wide kernel as a
+    # PALLAS kernel (interpret=True runs the real block specs): the paired
+    # one-pass kernel's out_shape is derived from the kernel extent, not
+    # hardcoded to the 3-wide crop
+    from cppre.ops.pallas import wave_joint_cp_scores_fused
+
+    got_pl = wave_joint_cp_scores_fused(truth, pred, k, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_pl), np.asarray(expected),
+                               rtol=2e-3)
 
 
 def test_vmem_cap_consistent_with_granted_limit():
