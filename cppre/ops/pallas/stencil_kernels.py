@@ -354,7 +354,7 @@ def wave_residual_fused(field, kernel, interpret: bool | None = None):
 # ---------------------------------------------------------------------------
 
 def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
-                         out_shape=None):
+                         out_shape=None, chunked_fn=None):
     """One-pass joint-CP front end: reads the truth and prediction field
     tensors once, emits (diff_residual [BS, *out], sum [*out], sumsq [*out])
     where diff = PRE(truth) - PRE(pred) and the moment accumulators give the
@@ -380,7 +380,7 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
         return diff, jnp.sum(diff, axis=0), jnp.sum(diff**2, axis=0)
 
     def _composed_path():
-        # the measured-fastest big-shape strategy (BASELINE.md roofline):
+        # the measured-fastest mid-shape strategy (BASELINE.md roofline):
         # per-tensor whole-block fused residual kernels (which still run as
         # Pallas when a SINGLE trajectory fits VMEM) + XLA-fused moments
         ro = _batched_residual_fused(truth, math_fn, None, out_shape)
@@ -408,6 +408,16 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
         # "paired is slower" readings were harness artifacts: the chained
         # CSE guard added a full-tensor add pass per iteration.
         if vmem_est > _VMEM_CAP:
+            # paired whole-trajectory blocks don't fit. If a SINGLE
+            # trajectory still fits (2 blocks + 2 out), the composed
+            # per-tensor-kernel route wins; beyond that the DMA-chunked
+            # kernel (when the caller's math supports chunking) beats the
+            # XLA lowering, which re-reads inputs per stencil tap
+            # (measured at 512x512: chunked vs 20.7 ms XLA,
+            # scripts/bench_scaling.py).
+            if chunked_fn is not None and \
+                    2 * block_bytes + 2 * out_bytes > _VMEM_CAP:
+                return chunked_fn()
             return _composed_path()
         interpret = False
 
@@ -466,13 +476,17 @@ def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
     """NS-momentum instance of `_joint_cp_diff_stats` (docstring there).
 
     Shapes whose paired whole-trajectory blocks exceed VMEM route to the
-    per-tensor-kernel + XLA-moments composition — measured faster than the
-    one-pass DMA-chunked kernel (BASELINE.md roofline), which remains
-    available explicitly as `ns_joint_cp_diff_stats_chunked`."""
+    per-tensor-kernel + XLA-moments composition; shapes where even a
+    single trajectory exceeds VMEM route to the one-pass DMA-chunked
+    kernel (`ns_joint_cp_diff_stats_chunked`) rather than the XLA
+    lowering."""
     nt, nx, ny = truth.shape[2:]
     math_fn = lambda f: _ns_momentum_math(f[0], f[1], f[2], nt, nx, ny,
                                           dt, dx, dy, nu)
-    return _joint_cp_diff_stats(truth, prediction, math_fn, interpret)
+    chunked = lambda: ns_joint_cp_diff_stats_chunked(truth, prediction,
+                                                     dt, dx, dy, nu)
+    return _joint_cp_diff_stats(truth, prediction, math_fn, interpret,
+                                chunked_fn=chunked)
 
 
 def ns_joint_cp_scores_fused(truth, prediction, dt: float, dx: float,
@@ -493,7 +507,10 @@ def mhd_induction_joint_cp_scores_fused(truth, prediction, eps: float = 1e-6,
     349-352`: modulation_func(+1e-6 guard) + ncf_metric_joint)."""
     _, _, nt, nx, ny = truth.shape
     math_fn = lambda f: _mhd_induction_math(f, nt, nx, ny)
-    diff, s, sq = _joint_cp_diff_stats(truth, prediction, math_fn, interpret)
+    chunked = lambda: mhd_joint_cp_diff_stats_chunked(truth, prediction,
+                                                      "induction")
+    diff, s, sq = _joint_cp_diff_stats(truth, prediction, math_fn, interpret,
+                                       chunked_fn=chunked)
     return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
 
 
@@ -509,18 +526,24 @@ def wave_joint_cp_scores_fused(truth, prediction, kernel, eps: float = 1e-6,
     assert k % 2 == 1, "stencil kernels must have odd extent"
     out_shape = (nt - k + 1, nx - k + 1, ny - k + 1)
     math_fn = lambda f: _valid_shift_add(f[0], taps, out_shape)
+    # the DMA-chunked route assumes the generic 1-frame time halo, so it is
+    # only available for the standard 3-wide composite kernel
+    chunked = None
+    if k == 3:
+        chunked = lambda: wave_joint_cp_diff_stats_chunked(truth, prediction,
+                                                           kernel)
     diff, s, sq = _joint_cp_diff_stats(truth[:, None], prediction[:, None],
-                                       math_fn, interpret, out_shape)
+                                       math_fn, interpret, out_shape,
+                                       chunked_fn=chunked)
     return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
 
 
-def ns_joint_cp_diff_stats_chunked(truth, prediction, dt: float, dx: float,
-                                   dy: float, nu: float = 0.001,
-                                   t_block: int = 5,
-                                   interpret: bool | None = None):
+def _joint_cp_diff_stats_chunked(truth, prediction, chunk_math, whole_fn,
+                                 t_block: int = 5,
+                                 interpret: bool | None = None):
     """One-pass diff+stats at shapes too large for whole-trajectory blocks.
 
-    Same contract as `ns_joint_cp_diff_stats`, but the per-sample
+    Same contract as `_joint_cp_diff_stats`, but the per-sample
     trajectories stay in HBM (`memory_space=ANY`) and the kernel manually
     DMAs overlapping time chunks (t_block interior frames + 1-frame halo
     per side) into VMEM scratch, computes the chunk's residual difference,
@@ -528,28 +551,66 @@ def ns_joint_cp_diff_stats_chunked(truth, prediction, dt: float, dx: float,
     keeps the footprint at ~2 x nvar x (t_block+2) x Nx x Ny per tensor
     regardless of Nt, where the whole-block variant needs both full
     trajectories resident (OOM at the benchmark shape).
+
+    `chunk_math(f, nt_c, nx, ny)` maps a [nvar, nt_c, nx, ny] chunk value
+    to its interior residual [nt_c-2, nx-2, ny-2] (a 3-wide-stencil
+    residual evaluated per overlapping time chunk — NS momentum, any MHD
+    equation, ...). `whole_fn(truth, prediction)` is the whole-block
+    fallback used off-TPU and when even single-frame chunks cannot fit.
     """
-    bs, nvar, nt, nx, ny_in = truth.shape
+    bs, nvar, nt, nx_in, ny_in = truth.shape
     out_t = nt - 2
 
     if interpret is None:
         if not _on_tpu():
-            return ns_joint_cp_diff_stats(truth, prediction, dt, dx, dy, nu)
+            return whole_fn(truth, prediction)
         interpret = False
 
-    # Mosaic HBM slices must be 128-lane aligned: zero-pad the y axis (the
-    # residual's valid y-interior, columns [0, ny_in-2), uses only real
-    # data; the padded tail is cropped after the kernel).
-    ny = -(-ny_in // 128) * 128 if not interpret else ny_in
-    if ny != ny_in:
-        padspec = [(0, 0)] * 4 + [(0, ny - ny_in)]
+    # Once the time axis is chunked, the DMA copies slice the VMEM blocks,
+    # and Mosaic requires every sliced dimension's extent to be
+    # tile-aligned in the last two (tiled) dims: zero-pad y to the 128-lane
+    # tile and x to the 8-sublane tile. The residual's valid interior
+    # (rows [0, nx_in-2), cols [0, ny_in-2)) uses only real data; padded
+    # tails are cropped after the kernel.
+    if not interpret:
+        nx = -(-nx_in // 8) * 8
+        ny = -(-ny_in // 128) * 128
+    else:
+        nx, ny = nx_in, ny_in
+    if (nx, ny) != (nx_in, ny_in):
+        padspec = [(0, 0)] * 3 + [(0, nx - nx_in), (0, ny - ny_in)]
         truth = jnp.pad(truth, padspec)
         prediction = jnp.pad(prediction, padspec)
+    # staged-diff x extent: 8-aligned so the out-copy's slice is aligned
+    # (tail rows/cols are zero-filled garbage, cropped on return)
+    ox = nx if not interpret else nx_in - 2
     out_shape = (out_t, nx - 2, ny - 2)
-    dma_shape = (out_t, nx - 2, ny)  # full-lane-width DMA, tail is garbage
+    dma_shape = (out_t, ox, ny)  # full-tile-width DMA, tail is garbage
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # Auto-shrink t_block to fit hardware VMEM. The footprint is
+    #   in-buffers: 2 tensors x 2 slots x nvar x (tb+2) x nx x ny
+    #   diff stage: 2 slots x tb x ox x ny
+    #   moment accumulators: 2 x out_t x pad8(nx-2) x pad128(ny-2),
+    #     counted TWICE (Mosaic double-buffers VMEM output blocks)
+    # measured: 178.9M at t_block=5, 512x512, nt=21 — matches this formula.
+    if not interpret:
+        acc_b = 16 * out_t * _vmem_pad(nx - 2, 8) * _vmem_pad(ny - 2, 128)
+
+        def scratch_bytes(tb):
+            return (16 * nvar * (tb + 2) * nx * ny + 8 * tb * ox * ny + acc_b)
+
+        budget = _VMEM_HW_LIMIT
+        while t_block > 1 and scratch_bytes(t_block) > budget:
+            t_block -= 1
+        if scratch_bytes(t_block) > budget:
+            # even single-frame chunks can't fit (the accumulators alone
+            # are too big) — defer to the whole-block routing, whose XLA
+            # lowering handles arbitrary shapes
+            return whole_fn(truth[..., :nx_in, :ny_in],
+                            prediction[..., :nx_in, :ny_in])
 
     # static chunk table: (interior_start, interior_len)
     chunks = []
@@ -602,19 +663,18 @@ def ns_joint_cp_diff_stats_chunked(truth, prediction, dt: float, dx: float,
                 cp.wait()
 
             nt_c = clen + 2
-            res_t = _ns_momentum_math(
-                t_vmem[slot, 0, :nt_c], t_vmem[slot, 1, :nt_c],
-                t_vmem[slot, 2, :nt_c], nt_c, nx, ny, dt, dx, dy, nu)
-            res_p = _ns_momentum_math(
-                p_vmem[slot, 0, :nt_c], p_vmem[slot, 1, :nt_c],
-                p_vmem[slot, 2, :nt_c], nt_c, nx, ny, dt, dx, dy, nu)
+            res_t = chunk_math(t_vmem[slot, :, :nt_c], nt_c, nx, ny)
+            res_p = chunk_math(p_vmem[slot, :, :nt_c], nt_c, nx, ny)
             d = res_t - res_p  # [clen, nx-2, ny-2]
 
             if ci >= 2:  # this d_vmem slot's previous out-copy must finish
                 out_copy(ci - 2, slot).wait()
-            d_vmem[slot, pl.ds(0, clen), :, : ny - 2] = d
-            d_vmem[slot, pl.ds(0, clen), :, ny - 2 :] = jnp.zeros(
+            d_vmem[slot, pl.ds(0, clen), : nx - 2, : ny - 2] = d
+            d_vmem[slot, pl.ds(0, clen), : nx - 2, ny - 2 :] = jnp.zeros(
                 (clen, nx - 2, 2), d.dtype)
+            if ox > nx - 2:  # zero the padded x tail rows
+                d_vmem[slot, pl.ds(0, clen), nx - 2 :, :] = jnp.zeros(
+                    (clen, ox - (nx - 2), ny), d.dtype)
             sum_ref[pl.ds(c0, clen)] += d
             sumsq_ref[pl.ds(c0, clen)] += d * d
             out_copy(ci, slot).start()
@@ -640,13 +700,95 @@ def ns_joint_cp_diff_stats_chunked(truth, prediction, dt: float, dx: float,
         scratch_shapes=[
             pltpu.VMEM((2, nvar, max_nt_c, nx, ny), truth.dtype),
             pltpu.VMEM((2, nvar, max_nt_c, nx, ny), truth.dtype),
-            pltpu.VMEM((2, max_nt_c - 2, nx - 2, ny), truth.dtype),
+            pltpu.VMEM((2, max_nt_c - 2, ox, ny), truth.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # the scratch footprint (two double-buffered chunk pairs + the diff
+        # staging buffer + both VMEM-resident moment accumulators) exceeds
+        # Mosaic's ~16 MiB default at large spatial grids (e.g. ~35 MiB at
+        # 256x256) — raise the scoped-VMEM limit to match, as the
+        # whole-block kernels do via _vmem_params
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=min(
+                int(1.5 * 4 * (
+                    2 * 2 * nvar * max_nt_c * _vmem_pad(nx, 8) * _vmem_pad(ny, 128)
+                    + 2 * (max_nt_c - 2) * _vmem_pad(ox, 8) * ny
+                    + 2 * out_t * _vmem_pad(nx - 2, 8) * _vmem_pad(ny - 2, 128)
+                )) + (4 << 20),
+                _VMEM_HW_LIMIT)),
         interpret=interpret,
     )(truth, prediction)
-    # crop the padded y tail (garbage from the zero-padded columns)
-    crop = ny_in - 2
-    return diff[..., :crop], s[..., :crop], sq[..., :crop]
+    # crop the padded x/y tails (garbage from the zero-padded rows/cols)
+    cx, cy = nx_in - 2, ny_in - 2
+    return diff[..., :cx, :cy], s[..., :cx, :cy], sq[..., :cx, :cy]
+
+
+def ns_joint_cp_diff_stats_chunked(truth, prediction, dt: float, dx: float,
+                                   dy: float, nu: float = 0.001,
+                                   t_block: int = 5,
+                                   interpret: bool | None = None):
+    """NS-momentum instance of `_joint_cp_diff_stats_chunked` (docstring
+    there). Same contract as `ns_joint_cp_diff_stats`."""
+
+    def whole(t, p):
+        # no chunked_fn here: this is the chunked kernel's own fallback,
+        # re-entering the chunked route would recurse
+        nt, nx, ny = t.shape[2:]
+        return _joint_cp_diff_stats(
+            t, p, lambda f: _ns_momentum_math(f[0], f[1], f[2], nt, nx, ny,
+                                              dt, dx, dy, nu), None)
+
+    return _joint_cp_diff_stats_chunked(
+        truth, prediction,
+        lambda f, nt_c, nx, ny: _ns_momentum_math(
+            f[0], f[1], f[2], nt_c, nx, ny, dt, dx, dy, nu),
+        whole, t_block, interpret)
+
+
+def wave_joint_cp_diff_stats_chunked(truth, prediction, kernel,
+                                     t_block: int = 5,
+                                     interpret: bool | None = None):
+    """Wave-composite instance of `_joint_cp_diff_stats_chunked` for
+    3-wide additive kernels (D_tt - (c dt/dx)^2 D_xxyy,
+    `Joint/Wave_Residuals_CP.py:170-176`): truth/prediction
+    [BS, Nt, Nx, Ny] single-variable trajectories."""
+    taps = _taps(kernel)
+    assert np.asarray(kernel).shape[0] == 3, \
+        "chunked wave route requires a 3-wide kernel (1-frame time halo)"
+
+    def whole(t, p):
+        # no chunked_fn here (see ns_joint_cp_diff_stats_chunked)
+        nt, nx, ny = t.shape[2:]
+        return _joint_cp_diff_stats(
+            t, p,
+            lambda f: _valid_shift_add(f[0], taps, (nt - 2, nx - 2, ny - 2)),
+            None)
+
+    return _joint_cp_diff_stats_chunked(
+        truth[:, None], prediction[:, None],
+        lambda f, nt_c, nx, ny: _valid_shift_add(
+            f[0], taps, (nt_c - 2, nx - 2, ny - 2)),
+        whole, t_block, interpret)
+
+
+def mhd_joint_cp_diff_stats_chunked(truth, prediction,
+                                    equation: str = "induction",
+                                    t_block: int = 5,
+                                    interpret: bool | None = None):
+    """MHD instance of `_joint_cp_diff_stats_chunked` for any of the five
+    selectable residual equations (`Joint/MHD_Residuals_CP.py:225-278`):
+    truth/prediction [BS, 6, Nt, Nx, Ny] -> (diff, sum, sumsq) at shapes
+    whose whole 6-field trajectories exceed VMEM."""
+
+    def whole(t, p):
+        # no chunked_fn here (see ns_joint_cp_diff_stats_chunked)
+        nt, nx, ny = t.shape[2:]
+        return _joint_cp_diff_stats(
+            t, p, lambda f: _mhd_math(equation, f, nt, nx, ny), None)
+
+    return _joint_cp_diff_stats_chunked(
+        truth, prediction,
+        lambda f, nt_c, nx, ny: _mhd_math(equation, f, nt_c, nx, ny),
+        whole, t_block, interpret)

@@ -87,6 +87,56 @@ def test_chunked_diff_stats_matches_whole_block():
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "equation", ["continuity", "momentum", "energy", "induction", "gauss"])
+def test_mhd_chunked_diff_stats_matches_whole_block(equation):
+    from cppre.ops.pallas.stencil_kernels import (
+        _joint_cp_diff_stats,
+        _mhd_math,
+        mhd_joint_cp_diff_stats_chunked,
+    )
+
+    rng = np.random.default_rng(5)
+    # offset away from zero so 1/rho in the momentum equation is tame
+    t = jnp.asarray(rng.standard_normal((3, 6, 11, 16, 24)) + 2.0, jnp.float32)
+    p = t + 0.1 * jnp.asarray(rng.standard_normal(t.shape), jnp.float32)
+    nt, nx, ny = t.shape[2:]
+    d1, s1, q1 = _joint_cp_diff_stats(
+        t, p, lambda f: _mhd_math(equation, f, nt, nx, ny), interpret=True)
+    d2, s2, q2 = mhd_joint_cp_diff_stats_chunked(
+        t, p, equation, t_block=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
+
+
+def test_wave_chunked_diff_stats_matches_whole_block():
+    from cppre.ops.pallas.stencil_kernels import (
+        _joint_cp_diff_stats,
+        _taps,
+        _valid_shift_add,
+        wave_joint_cp_diff_stats_chunked,
+    )
+    from cppre.ops.stencils import embed_kernel_3d, stencil_2d
+
+    kernel = (embed_kernel_3d(np.asarray(stencil_2d(2)), 2)
+              - 0.25 * embed_kernel_3d(np.asarray(stencil_2d(2)), 0))
+    rng = np.random.default_rng(6)
+    t = jnp.asarray(rng.standard_normal((3, 11, 16, 24)), jnp.float32)
+    p = t + 0.1 * jnp.asarray(rng.standard_normal(t.shape), jnp.float32)
+    taps = _taps(kernel)
+    nt, nx, ny = t.shape[1:]
+    d1, s1, q1 = _joint_cp_diff_stats(
+        t[:, None], p[:, None],
+        lambda f: _valid_shift_add(f[0], taps, (nt - 2, nx - 2, ny - 2)),
+        interpret=True)
+    d2, s2, q2 = wave_joint_cp_diff_stats_chunked(
+        t, p, kernel, t_block=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
+
+
 @pytest.mark.parametrize("interpret", [None, True])
 def test_fused_mhd_induction_matches_pre_mhd(interpret):
     from cppre.ops.pallas import mhd_induction_residual_fused
