@@ -6,7 +6,11 @@ over ICI driven by `jax.sharding`:
 
 * **dp** — calibration/training batches are embarrassingly parallel; shard
   the simulation axis over the 'dp' mesh axis and every ConvOps/CP/rollout
-  function runs data-parallel unchanged (they are pure jnp).
+  function runs data-parallel unchanged (they are pure jnp). The fused
+  Pallas joint-CP kernels compose with the mesh through
+  `sharding.sharded_fused_cp_scores` (shard_map per-device kernels + psum
+  of the moment accumulators) rather than pjit, so each chip keeps the
+  measured single-chip fast path.
 * **tp** — FNO spectral weights contract channels per (var, mode); sharding
   the output-channel dim over 'tp' turns the einsum into a GSPMD tensor-
   parallel matmul with an all-reduce XLA inserts automatically.
@@ -24,6 +28,7 @@ from .sharding import (
     shard_batch,
     fno_param_shardings,
     sharded_calibrate,
+    sharded_fused_cp_scores,
     make_sharded_train_step,
 )
 from .halo import stencil_conv_sharded, stencil_conv_sharded_2d
@@ -35,6 +40,7 @@ __all__ = [
     "shard_batch",
     "fno_param_shardings",
     "sharded_calibrate",
+    "sharded_fused_cp_scores",
     "make_sharded_train_step",
     "stencil_conv_sharded",
     "stencil_conv_sharded_2d",

@@ -19,6 +19,7 @@ __all__ = [
     "shard_batch",
     "fno_param_shardings",
     "sharded_calibrate",
+    "sharded_fused_cp_scores",
     "make_sharded_train_step",
 ]
 
@@ -135,3 +136,47 @@ def make_sharded_train_step(apply_fn, tx, step: int, T_out: int, loss_func,
         batch_sharding,
     ) if param_shardings is not None else None
     return jax.jit(train_step, in_shardings=in_shardings)
+
+
+def sharded_fused_cp_scores(diff_stats_fn, truth, prediction, mesh: Mesh,
+                            axis: str = "dp", eps: float = 1e-6):
+    """Joint-CP nonconformity scores with the calibration batch dp-sharded
+    and the fused one-pass kernel running independently per device.
+
+    `diff_stats_fn(t, p) -> (diff, sum, sumsq)` is any
+    `ops.pallas.stencil_kernels` `*_joint_cp_diff_stats` instance (each
+    routes itself to the paired / composed / DMA-chunked Pallas kernel on
+    TPU and to the XLA lowering elsewhere). Each shard evaluates it on its
+    LOCAL batch slice inside `shard_map` — so the Pallas fast path, not a
+    gathered pjit rewrite, runs per chip — and only the two field-shaped
+    moment accumulators cross ICI via `psum`. The per-sample sup-norm
+    scores (`modulation_func` + `ncf_metric_joint` semantics,
+    `Joint/NS_Residuals_CP.py:244-263`) return batch-sharded, ready for
+    `sharded_calibrate`. HBM traffic per chip is 1/dp of the single-chip
+    pipeline; the collective moves 2 x out-field bytes per chip.
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.pallas.stencil_kernels import _scores_from_diff_stats
+
+    n = truth.shape[0]
+    dp = mesh.shape[axis]
+    if n % dp != 0:
+        raise ValueError(
+            f"calibration batch ({n}) must divide the '{axis}' mesh axis "
+            f"extent ({dp}) so every shard runs an identical kernel")
+    spec = P(axis, *([None] * (truth.ndim - 1)))
+
+    @partial(shard_map, mesh=mesh, in_specs=(spec, spec),
+             out_specs=P(axis), check_rep=False)
+    def local_scores(t, p):
+        diff, s, sq = diff_stats_fn(t, p)
+        s = jax.lax.psum(s, axis)
+        sq = jax.lax.psum(sq, axis)
+        return _scores_from_diff_stats(diff, s, sq, n, eps)
+
+    truth = shard_batch(truth, mesh, axis)
+    prediction = shard_batch(prediction, mesh, axis)
+    return jax.jit(local_scores)(truth, prediction)

@@ -349,3 +349,40 @@ def test_bench_pipeline_dp_sharded_parity():
     # ~1e-7 rel (measured); the pipeline is otherwise identical
     np.testing.assert_allclose(np.asarray(s8), np.asarray(s1), rtol=1e-5)
     np.testing.assert_allclose(float(q8), float(q1), rtol=1e-5)
+
+
+@needs_8
+def test_sharded_fused_cp_scores_matches_single_device():
+    """`sharded_fused_cp_scores`: the fused one-pass diff+stats kernel run
+    per dp shard inside shard_map (moments psum'd over ICI) must match the
+    single-device fused pipeline — both via the production routing (XLA on
+    CPU) and with the Pallas kernel forced via interpret=True, proving the
+    Pallas fast path itself composes with the mesh."""
+    from cppre.cp import calibrate
+    from cppre.ops.pallas import stencil_kernels as sk
+    from cppre.parallel import sharded_fused_cp_scores
+
+    rng = np.random.default_rng(23)
+    shape = (16, 3, 9, 16, 24)
+    truth = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    pred = truth + 0.01 * jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    dt = dx = dy = 0.01
+
+    ref_scores = sk.ns_joint_cp_scores_fused(truth, pred, dt, dx, dy)
+    ref_q = float(calibrate(ref_scores, shape[0], 0.1))
+
+    mesh = make_mesh(8, dp=4, tp=2)
+    for interpret in (None, True):
+        fn = lambda t, p: sk.ns_joint_cp_diff_stats(t, p, dt, dx, dy,
+                                                    interpret=interpret)
+        scores = sharded_fused_cp_scores(fn, truth, pred, mesh)
+        # psum reduction order shifts the modulation std at float rounding
+        np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores),
+                                   rtol=2e-5)
+        q = float(sharded_calibrate(scores, 0.1, mesh))
+        np.testing.assert_allclose(q, ref_q, rtol=2e-5)
+
+    with pytest.raises(ValueError, match="divide"):
+        sharded_fused_cp_scores(
+            lambda t, p: sk.ns_joint_cp_diff_stats(t, p, dt, dx, dy),
+            truth[:6], pred[:6], mesh)
