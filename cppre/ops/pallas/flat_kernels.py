@@ -393,10 +393,14 @@ def mhd_joint_cp_scores_flat(truth, prediction, equation: str = "induction",
 
     def xla_fallback():
         from .stencil_kernels import (_joint_cp_diff_stats, _mhd_math,
-                                      _scores_from_diff_stats)
+                                      _scores_from_diff_stats,
+                                      mhd_joint_cp_diff_stats_chunked)
 
         mf = lambda f: _mhd_math(equation, f, nt, nx, ny)
-        diff, s, sq = _joint_cp_diff_stats(truth, prediction, mf, None)
+        chunked = lambda: mhd_joint_cp_diff_stats_chunked(truth, prediction,
+                                                          equation)
+        diff, s, sq = _joint_cp_diff_stats(truth, prediction, mf, None,
+                                           chunked_fn=chunked)
         return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
 
     return _scores_flat(truth, prediction, math_fn, ny, eps, interpret,

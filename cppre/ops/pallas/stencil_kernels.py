@@ -596,12 +596,12 @@ def _joint_cp_diff_stats_chunked(truth, prediction, chunk_math, whole_fn,
     #   moment accumulators: 2 x out_t x pad8(nx-2) x pad128(ny-2),
     #     counted TWICE (Mosaic double-buffers VMEM output blocks)
     # measured: 178.9M at t_block=5, 512x512, nt=21 — matches this formula.
+    acc_b = 16 * out_t * _vmem_pad(nx - 2, 8) * _vmem_pad(ny - 2, 128)
+
+    def scratch_bytes(tb):
+        return (16 * nvar * (tb + 2) * nx * ny + 8 * tb * ox * ny + acc_b)
+
     if not interpret:
-        acc_b = 16 * out_t * _vmem_pad(nx - 2, 8) * _vmem_pad(ny - 2, 128)
-
-        def scratch_bytes(tb):
-            return (16 * nvar * (tb + 2) * nx * ny + 8 * tb * ox * ny + acc_b)
-
         budget = _VMEM_HW_LIMIT
         while t_block > 1 and scratch_bytes(t_block) > budget:
             t_block -= 1
@@ -707,17 +707,14 @@ def _joint_cp_diff_stats_chunked(truth, prediction, chunk_math, whole_fn,
         # the scratch footprint (two double-buffered chunk pairs + the diff
         # staging buffer + both VMEM-resident moment accumulators) exceeds
         # Mosaic's ~16 MiB default at large spatial grids (e.g. ~35 MiB at
-        # 256x256) — raise the scoped-VMEM limit to match, as the
-        # whole-block kernels do via _vmem_params
+        # 256x256) — raise the scoped-VMEM limit to the SAME footprint
+        # model the auto-shrink guard above admits against (+20% headroom
+        # and 4 MiB for Mosaic's incidentals), so the guard can never
+        # admit a shape the grant then rejects
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=min(
-                int(1.5 * 4 * (
-                    2 * 2 * nvar * max_nt_c * _vmem_pad(nx, 8) * _vmem_pad(ny, 128)
-                    + 2 * (max_nt_c - 2) * _vmem_pad(ox, 8) * ny
-                    + 2 * out_t * _vmem_pad(nx - 2, 8) * _vmem_pad(ny - 2, 128)
-                )) + (4 << 20),
-                _VMEM_HW_LIMIT)),
+            vmem_limit_bytes=min(int(1.2 * scratch_bytes(t_block)) + (4 << 20),
+                                 _VMEM_HW_LIMIT)),
         interpret=interpret,
     )(truth, prediction)
     # crop the padded x/y tails (garbage from the zero-padded rows/cols)

@@ -157,7 +157,7 @@ def sharded_fused_cp_scores(diff_stats_fn, truth, prediction, mesh: Mesh,
     """
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..ops.pallas.stencil_kernels import _scores_from_diff_stats
 
@@ -165,12 +165,15 @@ def sharded_fused_cp_scores(diff_stats_fn, truth, prediction, mesh: Mesh,
     dp = mesh.shape[axis]
     if n % dp != 0:
         raise ValueError(
-            f"calibration batch ({n}) must divide the '{axis}' mesh axis "
-            f"extent ({dp}) so every shard runs an identical kernel")
+            f"the '{axis}' mesh axis extent ({dp}) must divide the "
+            f"calibration batch ({n}) so every shard runs an identical "
+            f"kernel")
     spec = P(axis, *([None] * (truth.ndim - 1)))
 
+    # check_vma=False: pallas_call's out ShapeDtypeStructs carry no
+    # varying-mesh-axes info, so the vma checker rejects Pallas bodies
     @partial(shard_map, mesh=mesh, in_specs=(spec, spec),
-             out_specs=P(axis), check_rep=False)
+             out_specs=P(axis), check_vma=False)
     def local_scores(t, p):
         diff, s, sq = diff_stats_fn(t, p)
         s = jax.lax.psum(s, axis)

@@ -135,11 +135,41 @@ def run_mhd_large():
         print(f"  mhd-large: FAILED {str(e).splitlines()[0][:90]}", flush=True)
 
 
+def run_wave_large():
+    """One accumulator-dominated wave shape through the chunked route
+    ([12, 26, 512, 512]: the VMEM grant must track the footprint model
+    that admitted the shape — regression for the guard/grant split)."""
+    import cppre.ops.pallas.stencil_kernels as sk2
+    from cppre.ops.stencils import embed_kernel_3d, stencil_2d
+
+    shape = (12, 26, 512, 512)
+    bs = shape[0]
+    kernel = (embed_kernel_3d(np.asarray(stencil_2d(2)), 2)
+              - 0.25 * embed_kernel_3d(np.asarray(stencil_2d(2)), 0))
+    rng = np.random.default_rng(9)
+    t_np = rng.standard_normal(shape).astype(np.float32)
+    p_np = t_np + 0.01 * rng.standard_normal(shape).astype(np.float32)
+    t, p = jnp.asarray(t_np), jnp.asarray(p_np)
+
+    def routed(tt, pp):
+        s = sk2.wave_joint_cp_scores_fused(tt, pp, kernel)
+        return calibrate(s, bs, ALPHA)
+
+    try:
+        work, _, q = slope_time(routed, t, p, inners=(4, 12, 36), reps=REPS)
+        report((bs, 1) + shape[1:], "chunked", work,
+               float(np.asarray(q).ravel()[0]))
+    except Exception as e:
+        print(f"  wave-large: FAILED {str(e).splitlines()[0][:90]}",
+              flush=True)
+
+
 def main():
     print("backend:", jax.default_backend(), flush=True)
     for shape in SHAPES:
         run_shape(shape)
     run_mhd_large()
+    run_wave_large()
 
 
 if __name__ == "__main__":
