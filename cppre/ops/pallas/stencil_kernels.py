@@ -220,6 +220,26 @@ def _vmem_params(est_bytes: int):
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
+def routing_decision(shape, out_shape=None, has_chunked: bool = True) -> str:
+    """Which strategy `_joint_cp_diff_stats` picks ON TPU for
+    [BS, nvar, nt, nx, ny] inputs: 'paired' (one-pass whole-trajectory
+    blocks), 'composed' (per-tensor kernels + XLA moments), or 'chunked'
+    (DMA time-chunked; falls back to 'composed' when the caller's math has
+    no chunked instance). Pure function of the shape — the production
+    routing and the bench predictors share it so they cannot drift."""
+    bs, nvar, nt, nx, ny = shape
+    if out_shape is None:
+        out_shape = (nt - 2, nx - 2, ny - 2)
+    block = nvar * nt * _vmem_pad(nx, 8) * _vmem_pad(ny, 128) * 4
+    out_b = (out_shape[0] * _vmem_pad(out_shape[1], 8)
+             * _vmem_pad(out_shape[2], 128) * 4)
+    if 4 * block + 4 * out_b <= _VMEM_CAP:
+        return "paired"
+    if 2 * block + 2 * out_b <= _VMEM_CAP:
+        return "composed"
+    return "chunked" if has_chunked else "composed"
+
+
 def _batched_residual_fused(fields, math_fn, interpret: bool | None,
                             out_shape=None):
     """Grid-over-batch pallas_call: one whole-trajectory block per program,
@@ -407,17 +427,17 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
         # grants ~120 MiB scoped VMEM, probe_vmem.py). Earlier
         # "paired is slower" readings were harness artifacts: the chained
         # CSE guard added a full-tensor add pass per iteration.
-        if vmem_est > _VMEM_CAP:
-            # paired whole-trajectory blocks don't fit. If a SINGLE
-            # trajectory still fits (2 blocks + 2 out), the composed
-            # per-tensor-kernel route wins; beyond that the DMA-chunked
-            # kernel (when the caller's math supports chunking) beats the
-            # XLA lowering, which re-reads inputs per stencil tap
-            # (measured at 512x512: chunked vs 20.7 ms XLA,
-            # scripts/bench_scaling.py).
-            if chunked_fn is not None and \
-                    2 * block_bytes + 2 * out_bytes > _VMEM_CAP:
-                return chunked_fn()
+        # Paired whole-trajectory blocks that don't fit route to the
+        # composed per-tensor-kernel path while a SINGLE trajectory still
+        # fits (2 blocks + 2 out); beyond that the DMA-chunked kernel
+        # (when the caller's math supports chunking) beats the XLA
+        # lowering, which re-reads inputs per stencil tap (measured at
+        # 512x512: chunked vs 20.7 ms XLA, scripts/bench_scaling.py).
+        route = routing_decision(truth.shape, out_shape,
+                                 chunked_fn is not None)
+        if route == "chunked":
+            return chunked_fn()
+        if route == "composed":
             return _composed_path()
         interpret = False
 

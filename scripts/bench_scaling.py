@@ -62,16 +62,8 @@ def traffic_bytes(shape, path: str) -> int:
 
 
 def predicted_route(shape):
-    """Mirror the production routing decision in _joint_cp_diff_stats."""
-    bs, nvar, nt, nx, ny = shape
-    pad = lambda v, m: -(-v // m) * m
-    block_bytes = nvar * nt * pad(nx, 8) * pad(ny, 128) * 4
-    out_bytes = (nt - 2) * pad(nx - 2, 8) * pad(ny - 2, 128) * 4
-    if 4 * block_bytes + 4 * out_bytes <= sk._VMEM_CAP:
-        return "paired"
-    if 2 * block_bytes + 2 * out_bytes <= sk._VMEM_CAP:
-        return "composed"
-    return "chunked"
+    """The production routing decision in _joint_cp_diff_stats."""
+    return sk.routing_decision(shape)
 
 
 def report(shape, path, work, q):

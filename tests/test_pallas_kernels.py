@@ -361,3 +361,20 @@ def test_vmem_cap_consistent_with_granted_limit():
     limit = params.vmem_limit_bytes
     assert limit <= _VMEM_HW_LIMIT
     assert limit >= int(_VMEM_CAP * 1.75)  # granted covers the model ratio
+
+
+def test_routing_decision_boundaries():
+    """The measured routing pins (BASELINE.md roofline + bench_scaling):
+    flagship shapes take the paired one-pass kernel, mid shapes the
+    composed per-tensor route, and shapes whose single trajectory exceeds
+    VMEM the DMA-chunked kernel (composed when no chunked math exists)."""
+    from cppre.ops.pallas.stencil_kernels import routing_decision
+
+    assert routing_decision((100, 3, 21, 100, 100)) == "paired"   # NS bench
+    assert routing_decision((100, 6, 21, 64, 64)) == "paired"     # MHD flagship
+    assert routing_decision((200, 1, 21, 64, 64)) == "paired"     # wave flagship
+    assert routing_decision((50, 3, 21, 256, 256)) == "composed"
+    assert routing_decision((12, 3, 21, 512, 512)) == "chunked"
+    assert routing_decision((25, 6, 21, 256, 256)) == "chunked"
+    assert routing_decision((12, 3, 21, 512, 512), has_chunked=False) == \
+        "composed"
