@@ -45,6 +45,7 @@ def run_2d_cp(
     eps: float = 0.0,
     verbose: bool = True,
     return_residuals: bool = False,
+    mesh=None,                    # jax.sharding.Mesh: dp-shard the CP phase
 ):
     T_in, T_out, step = cfg["T_in"], cfg["T_out"], cfg["Step"]
     n_train, n_cal = cfg.get("n_train", 0), cfg["n_cal"]
@@ -92,6 +93,20 @@ def run_2d_cp(
     pred_sl = slice(n_train + n_cal, n_train + n_cal + n_pred)
     a_cp = jnp.concatenate((a_enc[cal_sl], a_enc[pred_sl]))
     u_cp = jnp.concatenate((u_enc[cal_sl], u_enc[pred_sl]))
+
+    if mesh is not None:
+        # dp-shard the whole CP phase declaratively: samples are
+        # embarrassingly parallel and every downstream step (AR rollout,
+        # PRE, modulation, quantile sweep) is pure jnp, so placing the
+        # batch with a 'dp' NamedSharding is sufficient — jit partitions
+        # the graph and inserts the (tiny) cross-shard reductions on ICI.
+        # Per-sample numerics are shard-size-, not split-, dependent and
+        # identical for calibration and prediction samples, so the
+        # exchangeability contract above is preserved (parity asserted in
+        # tests/test_parallel.py).
+        from ..parallel import shard_batch
+
+        a_cp, u_cp = shard_batch(a_cp, mesh), shard_batch(u_cp, mesh)
 
     pred_all, _, _ = validation_AR(apply_fn, a_cp, u_cp, step, T_out)
     pred_cal, pred_pred = pred_all[:n_cal], pred_all[n_cal:]

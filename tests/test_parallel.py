@@ -386,3 +386,28 @@ def test_sharded_fused_cp_scores_matches_single_device():
         sharded_fused_cp_scores(
             lambda t, p: sk.ns_joint_cp_diff_stats(t, p, dt, dx, dy),
             truth[:6], pred[:6], mesh)
+
+
+@needs_8
+def test_experiment_engine_mesh_kwarg_parity():
+    """run_2d_cp(mesh=...) dp-shards the whole CP phase (rollout -> PRE ->
+    modulation -> quantile sweep) declaratively; the coverage curves must
+    match the single-device run (same trained params, same data)."""
+    from cppre.experiments.wave import run
+
+    cfg = {"Epochs": 2, "Nx": 24, "Modes": 4, "Width_time": 8,
+           "Batch Size": 10, "n_train": 10, "n_cal": 24, "n_pred": 8,
+           "T_out": 10}
+    # eps floors the per-cell modulation: with eps=0, near-zero-std cells
+    # divide f32 rollout noise (~1e-6, shard-layout-dependent) by ~1e-12
+    # and the sup-norm scores become noise amplifiers — the method's
+    # sensitivity, not a sharding defect (the reference guards the same
+    # way, `Joint/MHD_Residuals_CP.py:350`).
+    r1 = run("joint", config=cfg, verbose=False, eps=1e-3)
+    mesh = make_mesh(8, dp=8, tp=1)
+    r2 = run("joint", config=cfg, verbose=False, params=r1["params"],
+             mesh=mesh, eps=1e-3)
+    np.testing.assert_allclose(np.asarray(r2["coverage_aer_pre"]),
+                               np.asarray(r1["coverage_aer_pre"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r2["qhat"]), np.asarray(r1["qhat"]),
+                               rtol=1e-4)
