@@ -1,0 +1,64 @@
+"""One-command refresh of every TPU-measured artifact, in priority order.
+
+Run after a tunnel outage or a numerics-affecting change (e.g. the DFT
+spectral path) so all committed evidence reflects the current code:
+
+  1. tiny probe (fail fast if the tunnel is down)
+  2. bench.py                 -> driver metric sanity
+  3. scripts/bench_scaling.py -> chunked-kernel routing validation
+  4. flagship experiment re-runs -> results_*.json
+     (scripts/ns_flagship_tpu.py, flagship_sweep_tpu.py,
+      wave_flagship_tpu.py, al_advection_tpu.py)
+
+Each stage runs in a subprocess under its own timeout and failures don't
+stop later stages (the tunnel can die mid-campaign); the summary line per
+stage makes partial progress visible. Total budget ~3 h.
+
+Run from /root/repo:  python scripts/refresh_results_tpu.py [--quick]
+(--quick stops after stage 3.)
+"""
+
+import subprocess
+import sys
+import time
+
+STAGES = [
+    ("probe", ["python", "-c",
+               "import jax,jax.numpy as jnp;print(float(jnp.sum(jnp.ones((8,8)))))"],
+     120),
+    ("bench", ["python", "bench.py"], 1800),
+    ("scaling", ["python", "scripts/bench_scaling.py"], 3000),
+    ("ns_flagship", ["python", "scripts/ns_flagship_tpu.py"], 5400),
+    ("mhd_jorek_burgers", ["python", "scripts/flagship_sweep_tpu.py"], 5400),
+    ("wave_flagship", ["python", "scripts/wave_flagship_tpu.py"], 5400),
+    ("al_advection", ["python", "scripts/al_advection_tpu.py"], 5400),
+]
+
+
+def main():
+    quick = "--quick" in sys.argv
+    results = {}
+    for name, cmd, budget in STAGES:
+        if quick and name == "ns_flagship":
+            break
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(cmd, cwd="/root/repo", timeout=budget,
+                                  capture_output=True, text=True)
+            ok = proc.returncode == 0
+            tail = (proc.stdout + proc.stderr).strip().splitlines()[-3:]
+        except subprocess.TimeoutExpired:
+            ok, tail = False, ["TIMEOUT"]
+        wall = time.perf_counter() - t0
+        results[name] = ok
+        print(f"[{'ok' if ok else 'FAIL'}] {name:18s} {wall:7.1f}s")
+        for line in tail:
+            print(f"       {line}")
+        if name == "probe" and not ok:
+            print("tunnel down — aborting refresh")
+            return 1
+    return 0 if all(results.values()) else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
