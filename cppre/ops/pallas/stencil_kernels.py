@@ -374,7 +374,8 @@ def wave_residual_fused(field, kernel, interpret: bool | None = None):
 # ---------------------------------------------------------------------------
 
 def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
-                         out_shape=None, chunked_fn=None):
+                         out_shape=None, chunked_fn=None,
+                         samples_per_block: int = 1):
     """One-pass joint-CP front end: reads the truth and prediction field
     tensors once, emits (diff_residual [BS, *out], sum [*out], sumsq [*out])
     where diff = PRE(truth) - PRE(pred) and the moment accumulators give the
@@ -444,22 +445,35 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # samples_per_block > 1 packs g samples into each grid step to amortize
+    # per-program overhead on small trajectories (wave/MHD 64x64 blocks are
+    # <= a few MB; per-program fixed cost is a measurable fraction of their
+    # DMA time). Opt-in until measured on-chip; g must divide the batch and
+    # the enlarged footprint must still fit the Pallas ceiling.
+    g = samples_per_block
+    if g > 1 and (bs % g != 0 or g * vmem_est > _VMEM_CAP):
+        g = 1
+
     def kernel_fn(t_ref, p_ref, diff_ref, sum_ref, sumsq_ref):
         b = pl.program_id(0)
-        d = math_fn(t_ref[0]) - math_fn(p_ref[0])
-        diff_ref[0] = d
+        acc_s = acc_q = None
+        for i in range(g):
+            d = math_fn(t_ref[i]) - math_fn(p_ref[i])
+            diff_ref[i] = d
+            acc_s = d if acc_s is None else acc_s + d
+            acc_q = d * d if acc_q is None else acc_q + d * d
 
         @pl.when(b == 0)
         def _():
-            sum_ref[...] = d
-            sumsq_ref[...] = d * d
+            sum_ref[...] = acc_s
+            sumsq_ref[...] = acc_q
 
         @pl.when(b > 0)
         def _():
-            sum_ref[...] += d
-            sumsq_ref[...] += d * d
+            sum_ref[...] += acc_s
+            sumsq_ref[...] += acc_q
 
-    block_in = pl.BlockSpec((1, nvar, nt, nx, ny), lambda b: (b, 0, 0, 0, 0),
+    block_in = pl.BlockSpec((g, nvar, nt, nx, ny), lambda b: (b, 0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     stat_spec = pl.BlockSpec(out_shape, lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -470,15 +484,15 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
             jax.ShapeDtypeStruct(out_shape, truth.dtype),
             jax.ShapeDtypeStruct(out_shape, truth.dtype),
         ),
-        grid=(bs,),
+        grid=(bs // g,),
         in_specs=[block_in, block_in],
         out_specs=(
-            pl.BlockSpec((1,) + out_shape, lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((g,) + out_shape, lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             stat_spec,
             stat_spec,
         ),
-        compiler_params=_vmem_params(vmem_est),
+        compiler_params=_vmem_params(g * vmem_est),
         interpret=interpret,
     )(truth, prediction)
 
@@ -492,7 +506,8 @@ def _scores_from_diff_stats(diff, s, sq, n: int, eps: float):
 
 
 def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
-                           nu: float = 0.001, interpret: bool | None = None):
+                           nu: float = 0.001, interpret: bool | None = None,
+                           samples_per_block: int = 1):
     """NS-momentum instance of `_joint_cp_diff_stats` (docstring there).
 
     Shapes whose paired whole-trajectory blocks exceed VMEM route to the
@@ -506,22 +521,26 @@ def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
     chunked = lambda: ns_joint_cp_diff_stats_chunked(truth, prediction,
                                                      dt, dx, dy, nu)
     return _joint_cp_diff_stats(truth, prediction, math_fn, interpret,
-                                chunked_fn=chunked)
+                                chunked_fn=chunked,
+                                samples_per_block=samples_per_block)
 
 
 def ns_joint_cp_scores_fused(truth, prediction, dt: float, dx: float,
                              dy: float, nu: float = 0.001, eps: float = 1e-6,
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             samples_per_block: int = 1):
     """Full joint-CP nonconformity scores in two fused passes:
     per-sample sup-norm of |diff| / (std(diff, axis=0) + eps).
     Matches modulation_func + ncf_metric_joint over the NS momentum PRE."""
     diff, s, sq = ns_joint_cp_diff_stats(truth, prediction, dt, dx, dy, nu,
-                                         interpret=interpret)
+                                         interpret=interpret,
+                                         samples_per_block=samples_per_block)
     return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
 
 
 def mhd_induction_joint_cp_scores_fused(truth, prediction, eps: float = 1e-6,
-                                        interpret: bool | None = None):
+                                        interpret: bool | None = None,
+                                        samples_per_block: int = 1):
     """Joint-CP nonconformity scores over the MHD induction PRE, one fused
     read of each 6-field tensor (reference flow `Joint/MHD_Residuals_CP.py:
     349-352`: modulation_func(+1e-6 guard) + ncf_metric_joint)."""
@@ -530,12 +549,14 @@ def mhd_induction_joint_cp_scores_fused(truth, prediction, eps: float = 1e-6,
     chunked = lambda: mhd_joint_cp_diff_stats_chunked(truth, prediction,
                                                       "induction")
     diff, s, sq = _joint_cp_diff_stats(truth, prediction, math_fn, interpret,
-                                       chunked_fn=chunked)
+                                       chunked_fn=chunked,
+                                       samples_per_block=samples_per_block)
     return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
 
 
 def wave_joint_cp_scores_fused(truth, prediction, kernel, eps: float = 1e-6,
-                               interpret: bool | None = None):
+                               interpret: bool | None = None,
+                               samples_per_block: int = 1):
     """Joint-CP nonconformity scores over the wave composite-kernel PRE
     (`Joint/Wave_Residuals_CP.py:219-220`). truth/prediction
     [BS, Nt, Nx, Ny] single-variable trajectories; kernel the additive

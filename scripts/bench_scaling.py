@@ -156,12 +156,55 @@ def run_wave_large():
               flush=True)
 
 
+def run_gsweep():
+    """samples_per_block A/B at the flagship wave/MHD/NS shapes: does
+    packing g samples per grid step amortise per-program overhead?"""
+    from cppre.ops.stencils import embed_kernel_3d, stencil_2d
+
+    kernel = (embed_kernel_3d(np.asarray(stencil_2d(2)), 2)
+              - 0.25 * embed_kernel_3d(np.asarray(stencil_2d(2)), 0))
+    rng = np.random.default_rng(13)
+
+    cases = []
+    w = rng.standard_normal((200, 21, 64, 64)).astype(np.float32)
+    cases.append(("wave", (jnp.asarray(w), jnp.asarray(
+        w + 0.01 * rng.standard_normal(w.shape).astype(np.float32))),
+        lambda t, p, g: sk.wave_joint_cp_scores_fused(
+            t, p, kernel, samples_per_block=g)))
+    m = (rng.standard_normal((100, 6, 21, 64, 64)) + 2.0).astype(np.float32)
+    cases.append(("mhd", (jnp.asarray(m), jnp.asarray(
+        m + 0.01 * rng.standard_normal(m.shape).astype(np.float32))),
+        lambda t, p, g: sk.mhd_induction_joint_cp_scores_fused(
+            t, p, samples_per_block=g)))
+    n = rng.standard_normal((100, 3, 21, 100, 100)).astype(np.float32)
+    cases.append(("ns", (jnp.asarray(n), jnp.asarray(
+        n + 0.01 * rng.standard_normal(n.shape).astype(np.float32))),
+        lambda t, p, g: sk.ns_joint_cp_scores_fused(
+            t, p, DT, DX, DY, NU, samples_per_block=g)))
+
+    for name, (t, p), fn in cases:
+        bs = t.shape[0]
+        for g in (1, 2, 4):
+            def pipeline(tt, pp, g=g):
+                return calibrate(fn(tt, pp, g), bs, ALPHA)
+
+            try:
+                work, _, q = slope_time(pipeline, t, p, inners=(4, 12, 36),
+                                        reps=REPS)
+                print(f"  gsweep {name:5s} g={g}: {work*1e3:7.3f} ms/call  "
+                      f"{2*bs/work:9.0f} fields/s  qhat={q:.5f}", flush=True)
+            except Exception as e:
+                print(f"  gsweep {name:5s} g={g}: FAILED "
+                      f"{str(e).splitlines()[0][:80]}", flush=True)
+
+
 def main():
     print("backend:", jax.default_backend(), flush=True)
     for shape in SHAPES:
         run_shape(shape)
     run_mhd_large()
     run_wave_large()
+    run_gsweep()
 
 
 if __name__ == "__main__":

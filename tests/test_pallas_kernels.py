@@ -378,3 +378,27 @@ def test_routing_decision_boundaries():
     assert routing_decision((25, 6, 21, 256, 256)) == "chunked"
     assert routing_decision((12, 3, 21, 512, 512), has_chunked=False) == \
         "composed"
+
+
+def test_samples_per_block_parity():
+    """Packing g samples per grid step (per-program-overhead amortisation
+    for small wave/MHD blocks) must not change the diff or the moments;
+    non-dividing or oversize g silently falls back to g=1."""
+    from cppre.ops.pallas.stencil_kernels import (
+        _joint_cp_diff_stats,
+        _ns_momentum_math,
+    )
+
+    rng = np.random.default_rng(11)
+    t = jnp.asarray(rng.standard_normal((8, 3, 9, 16, 24)), jnp.float32)
+    p = t + 0.01 * jnp.asarray(rng.standard_normal(t.shape), jnp.float32)
+    nt, nx, ny = t.shape[2:]
+    mf = lambda f: _ns_momentum_math(f[0], f[1], f[2], nt, nx, ny,
+                                     0.01, 0.01, 0.01, 1e-3)
+    d1, s1, q1 = _joint_cp_diff_stats(t, p, mf, interpret=True)
+    for g in (2, 4, 3, 8):  # 3 does not divide 8 -> falls back to g=1
+        d2, s2, q2 = _joint_cp_diff_stats(t, p, mf, interpret=True,
+                                          samples_per_block=g)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-10)
