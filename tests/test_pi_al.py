@@ -74,6 +74,34 @@ def test_acquisition_functions():
     assert len(rnd) == 10
 
 
+def test_acquire_cp_marginal_threshold_semantics():
+    """Marginal-CP rejection (`Advection_AL_Marginal.py:169-220`): per-cell
+    qhat from [n, *field] scores; a candidate is acquired when its fraction
+    of cells OUTSIDE [-qhat, qhat] exceeds the threshold."""
+    from cppre.al import acquire_cp_marginal
+    from cppre.cp import calibrate
+
+    rng = np.random.default_rng(2)
+    params = rng.random((3, 2)).astype(np.float32)
+    cal_scores = np.abs(rng.standard_normal((40, 4, 6))).astype(np.float32)
+    qhat = np.asarray(calibrate(cal_scores, 40, 0.5))
+
+    inside = np.zeros((4, 6), np.float32)           # all cells inside
+    outside = qhat + 1.0                            # all cells outside
+    half = inside.copy()
+    half[:2] = qhat[:2] + 1.0                       # exactly half outside
+    residual = np.stack([inside, outside, half])
+
+    got = acquire_cp_marginal(params, residual, cal_scores, alpha=0.5,
+                              threshold=0.4)
+    # 'outside' (frac 1.0) and 'half' (frac 0.5) exceed 0.4; 'inside' no
+    assert got.shape == (2, 2)
+    np.testing.assert_array_equal(got, params[1:])
+    got_strict = acquire_cp_marginal(params, residual, cal_scores, alpha=0.5,
+                                     threshold=0.6)
+    np.testing.assert_array_equal(got_strict, params[1:2])
+
+
 def test_active_learning_loop_reduces_mse():
     """Tiny advection AL: test MSE after AL iterations must not blow up and
     the loop must sample simulations."""
