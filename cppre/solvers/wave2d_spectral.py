@@ -55,14 +55,18 @@ def _wave_solve(params, grid, Nt: int):
 class Wave2D:
     """OO wrapper matching the reference solver's surface."""
 
-    def __init__(self, Nx: int, x_min: float, x_max: float, tend: float, c: float):
+    def __init__(self, Nx: int, x_min: float, x_max: float, tend: float,
+                 c: float, dt_scale: float = 1.0):
+        """dt_scale < 1 refines the leapfrog step (Nt grows accordingly)
+        while keeping the [0, tend] horizon — for time-convergence studies;
+        the default reproduces the reference's 101-frame grid."""
         self.Nx = Nx
         self.x_min, self.x_max = x_min, x_max
         self.tend, self.c = tend, c
         self.x = np.linspace(x_min, x_max, Nx, endpoint=False, dtype=np.float32)
         self.y = self.x.copy()
         self.dx = float(self.x[1] - self.x[0])
-        self.Nt = _NT
+        self.Nt = int(round((_NT - 1) / dt_scale)) + 1
         self.dt = tend / (self.Nt - 1)
         self.t = np.arange(self.Nt, dtype=np.float32) * self.dt
         L = x_max - x_min

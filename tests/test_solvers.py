@@ -116,3 +116,42 @@ def test_wave_matches_analytic_standing_wave():
         exact = np.cos(1.0 * np.sqrt(2) * k * t) * u0
         err = np.abs(u[ti] - exact).max()
         assert err < 5e-3, (ti, err)
+
+
+def test_advection_upwind_first_order_convergence():
+    """Grid-refinement study: the upwind scheme's L1 error vs the exact
+    advected profile halves with each (dx, dt) halving at fixed CFL —
+    formal first-order convergence of the solver port (the reference's
+    `Advection_1D` solver is the same scheme, SURVEY §2.3)."""
+    errs = []
+    for Nx in (100, 200, 400, 800):
+        sim = Advection1D(Nx, Nx, 0.0, 2.0, 0.5)
+        _, _, u, ue = sim.solve(1.0, 50.0, 1.0)
+        errs.append(float(np.abs(np.asarray(u)[-1] - np.asarray(ue)[-1]).mean()))
+    ratios = [errs[i] / errs[i + 1] for i in range(len(errs) - 1)]
+    for r in ratios:
+        assert 1.6 < r < 2.4, (errs, ratios)
+    # pre-asymptotic ratios approach the theoretical 2 monotonically
+    assert ratios == sorted(ratios), ratios
+
+
+def test_wave_spectral_time_refinement_convergence():
+    """The spectral wave solver's error against the analytic standing wave
+    is set by the time integrator; refining dt (more steps over the same
+    horizon) must shrink it."""
+    k = 2 * np.pi
+    errs = []
+    for Nt_factor in (1.0, 0.5, 0.25):
+        sim = Wave2D(64, -1.0, 1.0, 1.0, 1.0, dt_scale=Nt_factor) \
+            if "dt_scale" in Wave2D.__init__.__code__.co_varnames else None
+        if sim is None:
+            import pytest
+
+            pytest.skip("Wave2D has no dt control knob")
+        X, Y = np.meshgrid(sim.x, sim.y, indexing="ij")
+        u0 = np.sin(k * X) * np.sin(k * Y)
+        u = sim.solve_from(u0)
+        t_last = sim.t[-1]
+        exact = np.cos(np.sqrt(2) * k * t_last) * u0
+        errs.append(np.abs(np.asarray(u)[-1] - exact).max())
+    assert errs[0] > errs[1] > errs[2], errs
