@@ -155,3 +155,27 @@ def test_wave_spectral_time_refinement_convergence():
         exact = np.cos(np.sqrt(2) * k * t_last) * u0
         errs.append(np.abs(np.asarray(u)[-1] - exact).max())
     assert errs[0] > errs[1] > errs[2], errs
+
+
+def test_burgers_matches_cole_hopf_exact():
+    """Machine-precision oracle for the viscous Burgers port: with
+    u0 = a sin(pi x) on the periodic box, Cole-Hopf gives the EXACT
+    solution u = -2 nu phi_x / phi where phi solves the heat equation
+    (phi_hat(t) = phi_hat(0) e^{-nu k^2 t}). The f32 ETD-RK4 solver must
+    track it to ~1e-5."""
+    from cppre.solvers.burgers1d import Burgers1D
+
+    a, nu, Nx, Nt, tend = 1.0, 0.1, 256, 101, 1.0
+    sim = Burgers1D(Nx, Nt, -1.0, 1.0, tend, nu)
+    u, x, dt = sim.solve(a, 0.0, 0.0)
+    x64 = np.asarray(sim.x, np.float64)
+    k = 2 * np.pi * np.fft.fftfreq(Nx, d=sim.dx)
+    phi0 = np.exp(a * np.cos(np.pi * x64) / (2 * nu * np.pi))
+    ph0 = np.fft.fft(phi0)
+    for ti in (0, 25, 50, 100):
+        t = ti * dt
+        ph = ph0 * np.exp(-nu * k**2 * t)
+        phi = np.real(np.fft.ifft(ph))
+        phix = np.real(np.fft.ifft(1j * k * ph))
+        u_exact = -2 * nu * phix / phi
+        assert np.abs(u[ti] - u_exact).max() < 1e-4, ti
