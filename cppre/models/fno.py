@@ -359,7 +359,11 @@ class FNO2d(nn.Module):
             if self.dropout_rate > 0.0 else (lambda z: z)
         x = drop(x)  # after initial projection (Dropout_FNO.py:165)
         x = jnp.transpose(x, (0, 4, 1, 2, 3))  # [B, W, V, Nx, Ny]
-        grid_c = jnp.transpose(grid, (0, 4, 1, 2, 3))
+        # the grid is identical for every sample, so the per-block bias
+        # branch b(grid) is batch-constant: feed it at batch 1 and let the
+        # add broadcast — saves a full-batch [B, W, V, Nx, Ny] tensor per
+        # block (same math; the reference computes it at full batch)
+        grid_c = jnp.transpose(grid[:1], (0, 4, 1, 2, 3))
 
         block = lambda name: _FNOBlock2d(
             self.modes1, self.modes2, self.num_vars, self.width_time,
@@ -404,7 +408,8 @@ class FNO1d(nn.Module):
         x = jnp.concatenate((x, grid), axis=-1)
         x = nn.Dense(self.width_time, name="fc0_time", precision=PRECISION)(x)
         x = jnp.transpose(x, (0, 3, 1, 2))  # [B, W, V, Nx]
-        grid_c = jnp.transpose(grid, (0, 3, 1, 2))
+        # batch-constant bias branch at batch 1 (see FNO2d)
+        grid_c = jnp.transpose(grid[:1], (0, 3, 1, 2))
 
         block = lambda name: _FNOBlock1d(self.modes1, self.num_vars,
                                          self.width_time, self.spectral_impl,
