@@ -1,0 +1,75 @@
+"""Inference-path FNO2d forward with fused Pallas Fourier blocks.
+
+`fno2d_forward_fused(model, variables, x)` computes exactly
+`model.apply(variables, x)` (dropout-free) with each of the six Fourier
+blocks evaluated by `ops.pallas.fno_block.fno_block2d_fused` — one VMEM
+pass per (sample, variable) instead of 15-20 XLA kernel launches per
+block (see that module's docstring; TurboFNO pattern, PAPERS.md). The
+lift/projection Denses and skip adds stay in XLA (they are single
+matmuls). Off-TPU the kernels run in interpret mode, so this function is
+also the math-parity oracle target (tests/test_pallas_kernels.py).
+
+Use for inference only (validation_AR rollouts, UQ evaluation): training
+differentiates through the flax module, which this path does not support.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas.fno_block import fno_block2d_fused
+from .fno import FNO2d, PRECISION
+
+__all__ = ["fno2d_forward_fused", "make_fused_apply"]
+
+
+def make_fused_apply(model, variables, interpret=None):
+    """Jitted `apply_fn(x)` over the fused blocks — drop-in for the
+    `apply_fn` that `train.rollout.validation_AR` and the UQ validators
+    take (inference only)."""
+    return jax.jit(lambda x: fno2d_forward_fused(model, variables, x,
+                                                 interpret=interpret))
+
+
+def _dense(p, x):
+    return jnp.einsum("...i,io->...o", x, p["kernel"],
+                      precision=PRECISION) + p["bias"]
+
+
+def _bias_branch(block_p, grid_c):
+    """b(grid): batch-constant [1, W, V, Nx, Ny] (channel Dense on the
+    coordinate grid), precomputed in XLA per block."""
+    g = jnp.moveaxis(grid_c, 1, -1)
+    out = _dense(block_p["_Channel1x1_1"]["Dense_0"], g)
+    return jnp.moveaxis(out, -1, 1)
+
+
+def fno2d_forward_fused(model: FNO2d, variables, x, interpret=None):
+    """[BS, Nvar, Nx, Ny, T_in] -> [BS, Nvar, Nx, Ny, step], identical math
+    to `model.apply(variables, x)` for dropout-free configs."""
+    assert model.dropout_rate == 0.0, "fused forward is inference-only"
+    p = variables["params"]
+    grid = model.get_grid(x.shape)
+    h = jnp.concatenate((x, grid), axis=-1)
+    h = _dense(p["fc0_time"], h)
+    h = jnp.transpose(h, (0, 4, 1, 2, 3))            # [B, W, V, Nx, Ny]
+    grid_c = jnp.transpose(grid[:1], (0, 4, 1, 2, 3))
+
+    def blk(name, z):
+        bp = p[name]
+        x3 = _bias_branch(bp, grid_c)
+        return fno_block2d_fused(z, bp, x3, model.modes1, model.modes2,
+                                 interpret=interpret)
+
+    x0 = blk("f0", h)
+    z = blk("f1", x0)
+    z = blk("f2", z) + x0
+    x1 = blk("f3", z)
+    z = blk("f4", x1)
+    z = blk("f5", z) + x1
+
+    z = jnp.transpose(z, (0, 2, 3, 4, 1))            # [B, V, Nx, Ny, W]
+    z = _dense(p["fc1_time"], z)
+    z = jax.nn.gelu(z, approximate=False)
+    return _dense(p["fc2_time"], z)

@@ -1,0 +1,194 @@
+"""Fused FNO2d Fourier block — forward-only Pallas kernel (TurboFNO-style).
+
+One FNO block (`Base_FNO.py:84-107`, rebuilt in `models/fno.py::_FNOBlock2d`)
+is gelu(mlp(spectral(x)) + w(x) + b(grid)). Lowered through XLA this is
+15-20 kernel launches per block, each streaming the full-resolution
+activation [B, W, V, Nx, Ny] through HBM; the measured forward runs at
+~18% of the chip's streaming ceiling and ~7% of the MXU — launch- and
+pass-dominated, exactly the regime "TurboFNO" (arXiv 2504.11681,
+PAPERS.md) attacks by fusing FFT + GEMM + iFFT. This kernel evaluates the
+WHOLE block in one VMEM pass per (sample, variable):
+
+  * load x_bv [W, Nx, Ny] once;
+  * truncated-DFT forward transforms as last-dim matmuls (the same
+    tables as `models/fno.py::_dft_fwd_y/_dft_fwd_x`);
+  * per-mode channel mixing, the channel MLP and the 1x1 bypass as
+    unrolled sum-of-outer-products over the W input channels (a [W, S]
+    broadcast-FMA per input channel — VPU work, no relayout needed);
+  * inverse transforms, bias-branch add (precomputed outside: b(grid) is
+    batch-constant), exact gelu;
+  * write the block output once.
+
+HBM traffic per block drops from ~4-6 activation passes to exactly 2
+(read x, write out). Forward-only: the AR validation rollouts and the UQ
+evaluation protocol (`validation_AR`, `uq/eval.py`) are inference, which
+is where experiment wall-clock concentrates after training. Training
+keeps the XLA path (autodiff through the flax block).
+
+Routing is opt-in (`models.fno2d_forward_fused`); math parity with
+`FNO2d.apply` is asserted in interpret mode (tests/test_pallas_kernels.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .stencil_kernels import _on_tpu, _vmem_pad
+
+__all__ = ["fno_block2d_fused"]
+
+
+def _dft_tables(nx: int, ny: int, m1: int, m2: int):
+    """All four transform tables (f64-built, f32-stored), matching
+    models/fno.py::_dft_basis/_irfft_weights exactly."""
+    freqs = list(range(m1)) + list(range(nx - m1, nx))
+    ang_y = -2.0 * np.pi * np.outer(np.arange(ny), np.arange(m2)) / ny
+    cy, sy = np.cos(ang_y), np.sin(ang_y)                      # [Ny, m2]
+    ang_x = -2.0 * np.pi * np.outer(np.arange(nx), freqs) / nx
+    cx, sx = np.cos(ang_x), np.sin(ang_x)                      # [Nx, K]
+    w = np.full(m2, 2.0)
+    w[0] = 1.0
+    if ny % 2 == 0 and m2 == ny // 2 + 1:
+        w[-1] = 1.0
+    # inverse-y tables with the Hermitian weights folded in:
+    # out = (vr*w) @ cy.T + (vi*w) @ sy.T  ==  vr @ iyc + vi @ iys
+    iyc = (w[:, None] * cy.T)                                  # [m2, Ny]
+    iys = (w[:, None] * sy.T)
+    f32 = np.float32
+    return (jnp.asarray(cy, f32), jnp.asarray(sy, f32),
+            jnp.asarray(cx, f32), jnp.asarray(sx, f32),
+            jnp.asarray(cx.T.copy(), f32), jnp.asarray(sx.T.copy(), f32),
+            jnp.asarray(iyc, f32), jnp.asarray(iys, f32))
+
+
+def _repack_spectral(block_params, m1: int, m2: int):
+    """[in, out, V, m1, m2] lo/hi pairs -> [in, out, V, m2, K] (K = 2*m1,
+    lo modes then hi modes, matching the kernel's frequency order)."""
+    sp = block_params["SpectralConv2d_0"]
+    wr = jnp.concatenate([sp["weights1_re"], sp["weights2_re"]], axis=3)
+    wi = jnp.concatenate([sp["weights1_im"], sp["weights2_im"]], axis=3)
+    return jnp.swapaxes(wr, 3, 4), jnp.swapaxes(wi, 3, 4)
+
+
+def fno_block2d_fused(x, block_params, x3, m1: int, m2: int,
+                      interpret: bool | None = None):
+    """One fused Fourier block. x [B, W, V, Nx, Ny] f32; block_params the
+    flax param subtree of `_FNOBlock2d` (f0..f5); x3 the precomputed
+    batch-constant bias branch [1, W, V, Nx, Ny]. Returns [B, W, V, Nx, Ny].
+
+    Requires dropout-free inference, 2*m1 <= Nx, m2 <= Ny//2+1, Nx % 8 == 0
+    (the in-kernel [W, Nx, Ny] -> [W*Nx, Ny] view needs sublane-aligned
+    planes); violations must be routed to the XLA path by the caller."""
+    b, w_ch, nv, nx, ny = x.shape
+    k_fr = 2 * m1
+    assert 2 * m1 <= nx and m2 <= ny // 2 + 1 and nx % 8 == 0
+
+    wcr, wci = _repack_spectral(block_params, m1, m2)
+    mlp = block_params["_ChannelMLP_0"]
+    a1, b1 = mlp["Dense_0"]["kernel"], mlp["Dense_0"]["bias"]   # [W, Wm], [Wm]
+    a2, b2 = mlp["Dense_1"]["kernel"], mlp["Dense_1"]["bias"]   # [Wm, W], [W]
+    byp = block_params["_Channel1x1_0"]["Dense_0"]
+    aw, bw = byp["kernel"], byp["bias"]                          # [W, W], [W]
+    w_mid = a1.shape[1]
+    tables = _dft_tables(nx, ny, m1, m2)
+    cy, sy, cxk, sxk, cxT, sxT, iyc, iys = tables
+    inv_scale = 1.0 / (nx * ny)
+
+    if interpret is None:
+        if not _on_tpu():
+            interpret = True
+        else:
+            interpret = False
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, wcr_ref, wci_ref, a1_ref, b1_ref, a2_ref, b2_ref,
+               aw_ref, bw_ref, cy_ref, sy_ref, cxk_ref, sxk_ref,
+               cxT_ref, sxT_ref, iyc_ref, iys_ref, x3_ref, out_ref):
+        xv = x_ref[0, :, 0]                                     # [W, Nx, Ny]
+
+        # ---- forward truncated DFT (last-dim matmuls + small transposes)
+        x2d = xv.reshape(w_ch * nx, ny)
+        yr = jnp.dot(x2d, cy_ref[...]).reshape(w_ch, nx, m2)
+        yi = jnp.dot(x2d, sy_ref[...]).reshape(w_ch, nx, m2)
+        yrT = jnp.swapaxes(yr, 1, 2).reshape(w_ch * m2, nx)     # [W*m2, Nx]
+        yiT = jnp.swapaxes(yi, 1, 2).reshape(w_ch * m2, nx)
+        zr = (jnp.dot(yrT, cxk_ref[...])
+              - jnp.dot(yiT, sxk_ref[...])).reshape(w_ch, m2, k_fr)
+        zi = (jnp.dot(yrT, sxk_ref[...])
+              + jnp.dot(yiT, cxk_ref[...])).reshape(w_ch, m2, k_fr)
+
+        # ---- per-mode channel mixing: sum of outer products over W_in
+        wcr_v = wcr_ref[:, :, 0]                                # [W, W, m2, K]
+        wci_v = wci_ref[:, :, 0]
+        mr = jnp.zeros((w_ch, m2, k_fr), jnp.float32)
+        mi = jnp.zeros((w_ch, m2, k_fr), jnp.float32)
+        for i in range(w_ch):
+            mr = mr + zr[i][None] * wcr_v[i] - zi[i][None] * wci_v[i]
+            mi = mi + zr[i][None] * wci_v[i] + zi[i][None] * wcr_v[i]
+
+        # ---- inverse transforms
+        mr2 = mr.reshape(w_ch * m2, k_fr)
+        mi2 = mi.reshape(w_ch * m2, k_fr)
+        vr = (jnp.dot(mr2, cxT_ref[...])
+              + jnp.dot(mi2, sxT_ref[...])).reshape(w_ch, m2, nx)
+        vi = (jnp.dot(mi2, cxT_ref[...])
+              - jnp.dot(mr2, sxT_ref[...])).reshape(w_ch, m2, nx)
+        vrT = jnp.swapaxes(vr, 1, 2).reshape(w_ch * nx, m2)
+        viT = jnp.swapaxes(vi, 1, 2).reshape(w_ch * nx, m2)
+        spec = ((jnp.dot(vrT, iyc_ref[...]) + jnp.dot(viT, iys_ref[...]))
+                .reshape(w_ch, nx, ny) * inv_scale)
+
+        # ---- channel MLP + 1x1 bypass as outer-product accumulations
+        def chan_contract(src, mat_ref, bias_ref, n_in, n_out):
+            acc = jnp.broadcast_to(
+                bias_ref[...].reshape(n_out, 1, 1), (n_out, nx, ny)
+            ).astype(jnp.float32)
+            for i in range(n_in):
+                acc = acc + src[i][None] * mat_ref[i].reshape(n_out, 1, 1)
+            return acc
+
+        h = jax.nn.gelu(chan_contract(spec, a1_ref, b1_ref, w_ch, w_mid),
+                        approximate=False)
+        x1 = chan_contract(h, a2_ref, b2_ref, w_mid, w_ch)
+        x2 = chan_contract(xv, aw_ref, bw_ref, w_ch, w_ch)
+        out_ref[0, :, 0] = jax.nn.gelu(x1 + x2 + x3_ref[0, :, 0],
+                                       approximate=False)
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda v, bb: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, w_ch, 1, nx, ny), lambda v, bb: (bb, 0, v, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((w_ch, w_ch, 1, m2, k_fr),
+                          lambda v, bb: (0, 0, v, 0, 0),
+                          memory_space=pltpu.VMEM)
+    x3_spec = pl.BlockSpec((1, w_ch, 1, nx, ny), lambda v, bb: (0, 0, v, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    # VMEM: x + out + x3 + spec/h/acc temporaries (~6 planes) + weights
+    est = (8 * w_ch * _vmem_pad(nx, 8) * _vmem_pad(ny, 128)
+           + 2 * w_ch * w_ch * _vmem_pad(m2, 8) * _vmem_pad(k_fr, 128)) * 4
+    from .stencil_kernels import _vmem_params
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        grid=(nv, b),  # b innermost: weight/table blocks stay resident
+        in_specs=[
+            x_spec, w_spec, w_spec,
+            full(w_ch, w_mid), full(w_mid), full(w_mid, w_ch), full(w_ch),
+            full(w_ch, w_ch), full(w_ch),
+            full(ny, m2), full(ny, m2), full(nx, k_fr), full(nx, k_fr),
+            full(k_fr, nx), full(k_fr, nx), full(m2, ny), full(m2, ny),
+            x3_spec,
+        ],
+        out_specs=x_spec,
+        compiler_params=_vmem_params(est),
+        interpret=interpret,
+    )(x.astype(jnp.float32), wcr, wci, a1, b1, a2, b2, aw, bw,
+      cy, sy, cxk, sxk, cxT, sxT, iyc, iys, x3.astype(jnp.float32))

@@ -406,3 +406,23 @@ def test_samples_per_block_parity():
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-10)
         np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-10)
+
+
+@pytest.mark.parametrize("num_vars,nx,modes,width",
+                         [(1, 64, 16, 16), (2, 16, 4, 8)])
+def test_fused_fno_block_forward_parity(num_vars, nx, modes, width):
+    """fno2d_forward_fused == FNO2d.apply (the TurboFNO-style fused
+    inference path, ops/pallas/fno_block.py) at a flagship-like and a
+    multi-variable shape, interpret mode."""
+    from cppre.models import FNO2d, fno2d_forward_fused
+
+    m = FNO2d(T_in=1, step=1, modes1=modes, modes2=modes,
+              num_vars=num_vars, width_time=width)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, num_vars, nx, nx, 1)),
+                    jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(m.apply(v, x))
+    out = np.asarray(fno2d_forward_fused(m, v, x))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, atol=3e-5 * max(scale, 1.0))
