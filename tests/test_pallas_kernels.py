@@ -426,3 +426,18 @@ def test_fused_fno_block_forward_parity(num_vars, nx, modes, width):
     out = np.asarray(fno2d_forward_fused(m, v, x))
     scale = np.abs(ref).max()
     np.testing.assert_allclose(out, ref, atol=3e-5 * max(scale, 1.0))
+
+
+def test_fused_fno_block_nyquist_modes():
+    """m2 == Ny//2+1 includes the Nyquist bin, whose Hermitian expansion
+    weight is 1 (not 2) — the fused kernel folds it into the inverse-y
+    table; parity against FNO2d.apply pins that fold."""
+    from cppre.models import FNO2d, fno2d_forward_fused
+
+    m = FNO2d(T_in=1, step=1, modes1=4, modes2=5, num_vars=1, width_time=8)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 1, 16, 8, 1)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(1), x)
+    ref = np.asarray(m.apply(v, x))
+    out = np.asarray(fno2d_forward_fused(m, v, x))
+    np.testing.assert_allclose(out, ref, atol=3e-5)
