@@ -27,7 +27,12 @@ __all__ = ["fno2d_forward_fused", "make_fused_apply"]
 def make_fused_apply(model, variables, interpret=None):
     """Jitted `apply_fn(x)` over the fused blocks — drop-in for the
     `apply_fn` that `train.rollout.validation_AR` and the UQ validators
-    take (inference only)."""
+    take (inference only).
+
+    Sharding caveat: pallas_call does not partition under pjit — on a dp
+    mesh, wrap the call in `jax.shard_map` over the batch axis (the
+    `parallel.sharded_fused_cp_scores` pattern) instead of relying on
+    batch-sharded inputs."""
     return jax.jit(lambda x: fno2d_forward_fused(model, variables, x,
                                                  interpret=interpret))
 
