@@ -15,6 +15,8 @@ from .flat_kernels import (
 )
 from .stencil_kernels import (
     fused_stencil_residual,
+    jorek_joint_cp_scores_fused,
+    jorek_residual_fused,
     mhd_induction_joint_cp_scores_fused,
     mhd_induction_residual_fused,
     mhd_residual_fused,
@@ -29,6 +31,8 @@ __all__ = [
     "mhd_joint_cp_scores_flat",
     "ns_joint_cp_scores_flat",
     "wave_joint_cp_scores_flat",
+    "jorek_joint_cp_scores_fused",
+    "jorek_residual_fused",
     "mhd_induction_joint_cp_scores_fused",
     "mhd_induction_residual_fused",
     "mhd_residual_fused",

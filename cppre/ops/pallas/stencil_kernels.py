@@ -36,6 +36,8 @@ __all__ = [
     "ns_momentum_residual_fused",
     "mhd_induction_residual_fused",
     "mhd_residual_fused",
+    "jorek_residual_fused",
+    "jorek_joint_cp_scores_fused",
     "ns_joint_cp_scores_fused",
     "mhd_induction_joint_cp_scores_fused",
     "wave_joint_cp_scores_fused",
@@ -175,6 +177,64 @@ def _mhd_induction_math(f, nt, nx, ny):
     res_x = d_t(Bx) - I(By) * d_y(u) + I(Bx) * d_y(v) - I(v) * d_y(Bx) + I(u) * d_y(By)
     res_y = d_t(By) + I(By) * d_x(u) - I(Bx) * d_x(v) - I(v) * d_x(Bx) + I(u) * d_x(By)
     return res_x + res_y
+
+
+def _d_xx(block, nt, nx, ny):
+    return (block[1 : nt - 1, 2:nx, 1 : ny - 1]
+            - 2.0 * _interior(block, nt, nx, ny)
+            + block[1 : nt - 1, 0 : nx - 2, 1 : ny - 1])
+
+
+def _d_yy(block, nt, nx, ny):
+    return (block[1 : nt - 1, 1 : nx - 1, 2:ny]
+            - 2.0 * _interior(block, nt, nx, ny)
+            + block[1 : nt - 1, 1 : nx - 1, 0 : ny - 2])
+
+
+def _jorek_affine(R):
+    """(r0, dr) of an affine 1-D major-radius grid, or None. Pallas
+    kernels cannot capture array constants, so the fused JOREK path
+    rebuilds R in-kernel from iota — which requires R to be affine (it is:
+    the experiments build it with linspace). Non-affine grids take the XLA
+    lowering."""
+    R = np.asarray(R, np.float64).reshape(-1)
+    if R.size < 2:
+        return None
+    d = np.diff(R)
+    if not np.allclose(d, d[0], rtol=1e-5, atol=1e-7):
+        return None
+    return float(R[0]), float(d[0])
+
+
+def _jorek_math(equation: str, f, nt, nx, ny, r0: float, dr: float,
+                Dc: float, K: float):
+    """JOREK reduced-MHD residuals (`Joint/JOREK_residuals_CP.py:210-239`,
+    rebuilt in `residuals/jorek.py::PRE_JOREK`, fixed y-axis semantics) as
+    interior-window shift-add math over a [3, nt, nx, ny] block
+    (rho, Phi, T). The major-radius weight R = r0 + dr*i is rebuilt
+    in-kernel from iota (interior rows i in [1, nx-2]; tile-padded rows
+    beyond the true grid get finite garbage the caller crops — JOREK's R
+    is positive and bounded away from 0)."""
+    GAMMA = 5.0 / 3.0
+    idx = jax.lax.broadcasted_iota(jnp.float32, (nx - 2, 1), 0)
+    R_int = r0 + dr * (idx + 1.0)
+    rho, phi, T = f[0], f[1], f[2]
+    I = lambda a: _interior(a, nt, nx, ny)
+    d_t = lambda a: _d_t(a, nt, nx, ny)
+    d_x = lambda a: _d_x(a, nt, nx, ny)
+    d_y = lambda a: _d_y(a, nt, nx, ny)
+    d_xx = lambda a: _d_xx(a, nt, nx, ny)
+    d_yy = lambda a: _d_yy(a, nt, nx, ny)
+    br = lambda a, b: d_x(a) * d_y(b) - d_x(b) * d_y(a)
+    if equation == "continuity":
+        return (d_t(rho) - R_int * br(rho, phi) - 2.0 * I(rho) * d_y(phi)
+                - Dc * (d_xx(rho) + (1.0 / R_int) * d_x(rho) + d_yy(rho)))
+    if equation == "temperature":
+        return (I(T) * d_t(rho) + I(rho) * d_t(T)
+                - I(rho) * R_int * br(T, phi) + I(T) * R_int * br(rho, phi)
+                + 2.0 * GAMMA * I(rho) * I(T) * d_y(phi)
+                + K * (d_xx(T) + (1.0 / R_int) * d_x(T) + d_yy(T)))
+    raise ValueError(f"unknown JOREK equation {equation!r}")
 
 
 def _vmem_pad(v: int, m: int) -> int:
@@ -359,6 +419,28 @@ def mhd_residual_fused(fields, equation: str = "induction",
 def mhd_induction_residual_fused(fields, interpret: bool | None = None):
     """Fused ideal-MHD induction PRE (see `mhd_residual_fused`)."""
     return mhd_residual_fused(fields, "induction", interpret)
+
+
+def jorek_residual_fused(fields, R, Dc: float = 3.4, K: float = 2.25e-7,
+                         equation: str = "continuity",
+                         interpret: bool | None = None):
+    """Fused JOREK reduced-MHD PRE (`Joint/JOREK_residuals_CP.py:210-239`):
+    fields [BS, 3, Nt, NR, NZ] (rho, Phi, T), R the 1-D major-radius grid.
+    Matches `PRE_JOREK.residual(..., equation, boundary=False)` exactly."""
+    bs, nvar, nt, nx, ny = fields.shape
+    assert nvar >= 3
+    aff = _jorek_affine(R)
+    if aff is None:  # non-affine R: XLA lowering (closures are fine there)
+        from ...residuals.jorek import PRE_JOREK
+
+        # dt/dR/dZ only enter PRE_JOREK's norms=True branch, unused here
+        dummy = PRE_JOREK(jnp.asarray(R), 1.0, 1.0, 1.0, D=Dc, K=K)
+        return dummy.residual(fields, equation)
+    r0, dr = aff
+    return _batched_residual_fused(
+        fields,
+        lambda f: _jorek_math(equation, f, nt, nx, ny, r0, dr, Dc, K),
+        interpret)
 
 
 def wave_residual_fused(field, kernel, interpret: bool | None = None):
@@ -829,4 +911,49 @@ def mhd_joint_cp_diff_stats_chunked(truth, prediction,
     return _joint_cp_diff_stats_chunked(
         truth, prediction,
         lambda f, nt_c, nx, ny: _mhd_math(equation, f, nt_c, nx, ny),
+        whole, t_block, interpret)
+
+
+def jorek_joint_cp_scores_fused(truth, prediction, R, Dc: float = 3.4,
+                                K: float = 2.25e-7,
+                                equation: str = "continuity",
+                                eps: float = 1e-6,
+                                interpret: bool | None = None):
+    """Joint-CP nonconformity scores over a JOREK reduced-MHD PRE
+    (`Joint/JOREK_residuals_CP.py` flow: modulation_func(+eps guard) +
+    ncf_metric_joint), one fused read of each [BS, 3, Nt, NR, NZ] tensor.
+    R is the 1-D major-radius grid."""
+    _, _, nt, nx, ny = truth.shape
+    r0, dr = _jorek_affine(R)  # affine required for the fused path
+    math_fn = lambda f: _jorek_math(equation, f, nt, nx, ny, r0, dr, Dc, K)
+    chunked = lambda: jorek_joint_cp_diff_stats_chunked(
+        truth, prediction, R, Dc, K, equation)
+    diff, s, sq = _joint_cp_diff_stats(truth, prediction, math_fn, interpret,
+                                       chunked_fn=chunked)
+    return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
+
+
+def jorek_joint_cp_diff_stats_chunked(truth, prediction, R, Dc: float = 3.4,
+                                      K: float = 2.25e-7,
+                                      equation: str = "continuity",
+                                      t_block: int = 5,
+                                      interpret: bool | None = None):
+    """JOREK instance of `_joint_cp_diff_stats_chunked` for shapes whose
+    whole 3-field trajectories exceed VMEM. The chunk math rebuilds the
+    interior R weight from the (tile-padded) chunk extent."""
+
+    r0, dr = _jorek_affine(R)  # affine required for the fused path
+
+    def whole(t, p):
+        # no chunked_fn here (see ns_joint_cp_diff_stats_chunked)
+        nt, nx, ny = t.shape[2:]
+        return _joint_cp_diff_stats(
+            t, p,
+            lambda f: _jorek_math(equation, f, nt, nx, ny, r0, dr, Dc, K),
+            None)
+
+    return _joint_cp_diff_stats_chunked(
+        truth, prediction,
+        lambda f, nt_c, nx, ny: _jorek_math(
+            equation, f, nt_c, nx, ny, r0, dr, Dc, K),
         whole, t_block, interpret)

@@ -441,3 +441,47 @@ def test_fused_fno_block_nyquist_modes():
     ref = np.asarray(m.apply(v, x))
     out = np.asarray(fno2d_forward_fused(m, v, x))
     np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+@pytest.mark.parametrize("equation", ["continuity", "temperature"])
+@pytest.mark.parametrize("interpret", [None, True])
+def test_fused_jorek_matches_pre_jorek(equation, interpret):
+    """Fused JOREK PRE (in-kernel iota R rebuild) == PRE_JOREK for both
+    cylindrical residuals; scores match the cp reference path; the
+    DMA-chunked instance matches the whole-block kernel; non-affine R
+    grids fall back to the XLA lowering."""
+    from cppre.cp.inductive import modulation_func, ncf_metric_joint
+    from cppre.ops.pallas import (jorek_joint_cp_scores_fused,
+                                  jorek_residual_fused)
+    from cppre.ops.pallas.stencil_kernels import (
+        jorek_joint_cp_diff_stats_chunked,
+    )
+    from cppre.residuals.jorek import PRE_JOREK
+
+    rng = np.random.default_rng(8)
+    nx, ny = 16, 24
+    R = np.linspace(1.0, 2.0, nx).astype(np.float32)
+    fields = jnp.asarray(rng.standard_normal((4, 3, 9, nx, ny)) + 2.0,
+                         jnp.float32)
+    pre = PRE_JOREK(R, dt=0.01, dR=0.02, dZ=0.02)
+    ref = np.asarray(pre.residual(fields, equation))
+    out = np.asarray(jorek_residual_fused(fields, R, equation=equation,
+                                          interpret=interpret))
+    np.testing.assert_allclose(out, ref, atol=1e-4 * max(np.abs(ref).max(), 1))
+
+    if equation == "continuity" and interpret:
+        pred = fields + 0.05 * jnp.asarray(
+            rng.standard_normal(fields.shape), jnp.float32)
+        ro, rp = pre.residual(fields, equation), pre.residual(pred, equation)
+        mod = modulation_func(ro, rp) + 1e-6
+        expected = np.asarray(ncf_metric_joint(ro, rp, mod))
+        got = np.asarray(jorek_joint_cp_scores_fused(fields, pred, R,
+                                                     equation=equation))
+        np.testing.assert_allclose(got, expected, rtol=1e-4)
+        d2, s2, q2 = jorek_joint_cp_diff_stats_chunked(
+            fields, pred, R, equation=equation, t_block=3, interpret=True)
+        np.testing.assert_allclose(np.asarray(ro - rp), np.asarray(d2),
+                                   atol=1e-4)
+        # non-affine grid: falls back to the XLA path, same shape
+        nb = jorek_residual_fused(fields, R**2, equation=equation)
+        assert nb.shape == ref.shape
