@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..residuals.jorek import PRE_JOREK
+
 from .base2d import run_2d_cp
 
 CONFIG = {
@@ -84,8 +84,12 @@ def run(mode: str = "joint", data_path: str | None = None,
         R, Z, t, fields = synthetic_blobs(n_total, seed=seed)
     dt = float(t[1] - t[0])
     dR, dZ = float(R[1] - R[0]), float(Z[1] - Z[0])
-    pre = PRE_JOREK(R, dt, dR, dZ, D=cfg["D"], K=cfg["K"], mu=cfg["mu"])
-    res = lambda f: pre.residual(f, equation=cfg["equation"])
+    # fused Pallas path on TPU (affine R; XLA fallback otherwise/off-TPU),
+    # parity vs PRE_JOREK asserted in tests/test_pallas_kernels.py
+    from ..ops.pallas import jorek_residual_fused
+
+    res = lambda f: jorek_residual_fused(f, R, Dc=cfg["D"], K=cfg["K"],
+                                         equation=cfg["equation"])
     cp_kwargs.setdefault("eps", 1e-6)  # reference's modulation guard
     return run_2d_cp(data=fields, residual_fn=res, cfg=cfg, mode=mode,
                      seed=seed, verbose=verbose, **cp_kwargs)
