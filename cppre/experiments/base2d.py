@@ -46,6 +46,7 @@ def run_2d_cp(
     verbose: bool = True,
     return_residuals: bool = False,
     mesh=None,                    # jax.sharding.Mesh: dp-shard the CP phase
+    fused_forward: bool = False,  # fused Pallas FNO blocks for the rollouts
 ):
     T_in, T_out, step = cfg["T_in"], cfg["T_out"], cfg["Step"]
     n_train, n_cal = cfg.get("n_train", 0), cfg["n_cal"]
@@ -79,7 +80,17 @@ def run_2d_cp(
                      scheduler_gamma=cfg["Scheduler Gamma"],
                      seed=seed, verbose=verbose)
     train_time = time.perf_counter() - t0
-    apply_fn = lambda x: model.apply(params, x)
+    if fused_forward:
+        # inference rollouts through the fused Pallas Fourier blocks
+        # (models/fused.py; parity vs model.apply asserted at 7e-7).
+        # Mutually exclusive with mesh= (pallas_call does not partition
+        # under pjit — see make_fused_apply's sharding caveat).
+        assert mesh is None, "fused_forward does not compose with mesh="
+        from ..models.fused import make_fused_apply
+
+        apply_fn = make_fused_apply(model, params)
+    else:
+        apply_fn = lambda x: model.apply(params, x)
 
     # calibration and prediction splits come from the tail of the data.
     # CRITICAL: both rollouts run in ONE batched call and are split after.
