@@ -21,7 +21,17 @@ import jax.numpy as jnp
 from ..ops.pallas.fno_block import fno_block2d_fused
 from .fno import FNO2d, PRECISION
 
-__all__ = ["fno2d_forward_fused", "make_fused_apply"]
+__all__ = ["fno2d_forward_fused", "fused_supported", "make_fused_apply"]
+
+
+def fused_supported(model: FNO2d, x_shape) -> bool:
+    """Shape/config constraints of the fused block kernel: dropout-free,
+    2*m1 <= Nx, m2 <= Ny//2+1, Nx % 8 == 0 (the in-kernel [W, Nx, Ny] ->
+    [W*Nx, Ny] view needs sublane-aligned planes — e.g. the NS flagship's
+    100x100 grid is NOT supported and keeps the XLA path)."""
+    nx, ny = x_shape[2], x_shape[3]
+    return (model.dropout_rate == 0.0 and 2 * model.modes1 <= nx
+            and model.modes2 <= ny // 2 + 1 and nx % 8 == 0)
 
 
 def make_fused_apply(model, variables, interpret=None):
@@ -29,12 +39,21 @@ def make_fused_apply(model, variables, interpret=None):
     `apply_fn` that `train.rollout.validation_AR` and the UQ validators
     take (inference only).
 
+    Unsupported shapes/configs (`fused_supported`) fall back to
+    `model.apply` per call, so the returned fn is safe for any input.
+
     Sharding caveat: pallas_call does not partition under pjit — on a dp
     mesh, wrap the call in `jax.shard_map` over the batch axis (the
     `parallel.sharded_fused_cp_scores` pattern) instead of relying on
     batch-sharded inputs."""
-    return jax.jit(lambda x: fno2d_forward_fused(model, variables, x,
-                                                 interpret=interpret))
+
+    def apply_fn(x):
+        if fused_supported(model, x.shape):
+            return fno2d_forward_fused(model, variables, x,
+                                       interpret=interpret)
+        return model.apply(variables, x)
+
+    return jax.jit(apply_fn)
 
 
 def _dense(p, x):
