@@ -211,30 +211,178 @@ def bench_torch_cpu(fields, pred):
     return float(np.mean(times))
 
 
-def main():
+METRIC = "ns_pre_joint_cp_fields_per_sec"
+UNIT = "fields/s/chip"
+# Outage retry budget: the axon tunnel flaps — round 2 lost its number to a
+# backend-init RuntimeError, and during long outages even backend discovery
+# HANGS (the axon hook blocks inside xla_bridge.backends()). Every attempt
+# therefore goes through a short-timeout subprocess probe first. Keep total
+# retry time well inside the 2400 s watchdog so the error JSON line is
+# always emitted.
+RETRY_BUDGET_S = 1500.0
+RETRY_DELAY_S = 60.0
+PROBE_TIMEOUT_S = 150.0  # jax import ~8 s + backend init + one tiny op
+JAX_LEG_TIMEOUT_S = 1200  # one full XLA+Pallas leg incl. remote compiles
+
+
+def _platform_env():
+    """Forward the parent's RESOLVED jax platform to child processes via
+    CPPRE_BENCH_PLATFORM. Env vars like JAX_PLATFORMS are NOT honoured at
+    child startup here (sitecustomize imports jax pointed at the tunnel),
+    so children must re-apply the platform through jax.config post-import —
+    the same mechanism `_pallas_leg` already uses."""
+    import os
+    import sys
+
+    env = dict(os.environ)
+    if "jax" in sys.modules:
+        import jax
+
+        p = jax.config.jax_platforms
+        if p:
+            env["CPPRE_BENCH_PLATFORM"] = p
+    return env
+
+
+# applied by every child before touching the backend (see _platform_env)
+_CHILD_PLATFORM_PRELUDE = (
+    "import os, jax\n"
+    "_p = os.environ.get('CPPRE_BENCH_PLATFORM')\n"
+    "if _p:\n"
+    "    jax.config.update('jax_platforms', _p)\n"
+)
+
+
+def _probe_backend(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
+    """Can the default backend run a tiny op right now? Run in a subprocess
+    with a hard timeout: a dead tunnel hangs rather than raising."""
+    import subprocess
+    import sys
+
+    code = (_CHILD_PLATFORM_PRELUDE +
+            "import jax.numpy as jnp\n"
+            "assert float(jnp.sum(jnp.ones((64, 64)))) == 64 * 64\n")
+    try:
+        out = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                             capture_output=True, text=True,
+                             env=_platform_env())
+        return out.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _emit(value, vs_baseline, error=None):
+    """The single driver-parseable JSON line. On failure the numeric fields
+    are null and `error` carries the diagnosis — never a bare traceback."""
+    rec = {"metric": METRIC, "value": value, "unit": UNIT,
+           "vs_baseline": vs_baseline}
+    if error is not None:
+        rec["error"] = error
+    print(json.dumps(rec))
+
+
+def _jax_leg_subprocess(timeout_s: float) -> float | None:
+    """Run the whole JAX leg in a FRESH process: jax caches a failed
+    backend init for the life of the process, so in-process retry after an
+    'Unable to initialize backend' RuntimeError always re-raises — only a
+    new process re-attempts the tunnel handshake."""
+    import subprocess
+    import sys
+
+    dims = f"{N_CAL},{NT},{NX},{NY},{REPS},{INNER_ITERS}"
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--jax-leg", dims],
+            capture_output=True, text=True, timeout=timeout_s,
+            env=_platform_env(),
+        )
+    except subprocess.TimeoutExpired:
+        print("bench: jax leg retry timed out (tunnel hang?)", file=sys.stderr)
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("JAX_T="):
+            return float(line.split("=", 1)[1])
+    print(f"bench: jax leg retry exit {out.returncode}; stderr tail: "
+          f"{out.stderr[-400:]!r}", file=sys.stderr)
+    return None
+
+
+def _jax_leg_child(dims: str):
+    import os
+
+    import jax
+
+    p = os.environ.get("CPPRE_BENCH_PLATFORM")
+    if p:
+        jax.config.update("jax_platforms", p)
+    global N_CAL, NT, NX, NY, REPS, INNER_ITERS
+    N_CAL, NT, NX, NY, REPS, INNER_ITERS = (int(v) for v in dims.split(","))
     fields, pred = _synthetic_fields()
-    t_jax = bench_jax(fields, pred)
+    print(f"JAX_T={bench_jax(fields, pred)}")
+
+
+def main():
+    import sys
+
+    fields, pred = _synthetic_fields()
+    deadline = time.monotonic() + RETRY_BUDGET_S
+    t_jax = None
+    err = None
+    # Pre-flight probe in a subprocess: during outages backend discovery
+    # HANGS (never raises), so never touch the backend in-process before a
+    # probe has passed. On probe success run the leg in-process (fast path;
+    # also what the CPU contract test exercises with jax_platforms pre-set);
+    # backend-unavailable RuntimeErrors there fall through to the retry
+    # loop, which uses FRESH processes — jax caches a failed backend init
+    # for the life of the process.
+    if _probe_backend():
+        try:
+            t_jax = bench_jax(fields, pred)
+        except RuntimeError as e:
+            err = str(e).splitlines()[0][:300]
+            print(f"bench: jax leg failed ({err}); retrying in fresh "
+                  f"processes", file=sys.stderr)
+    else:
+        err = "backend probe failed or timed out"
+        print(f"bench: {err}; retrying with backoff", file=sys.stderr)
+    delay = RETRY_DELAY_S
+    while t_jax is None and time.monotonic() < deadline:
+        time.sleep(min(delay, max(deadline - time.monotonic(), 0)))
+        remaining = deadline - time.monotonic()
+        if remaining <= 30:
+            break
+        if not _probe_backend(min(PROBE_TIMEOUT_S, remaining)):
+            delay = min(delay * 2, 480.0)
+            continue
+        t_jax = _jax_leg_subprocess(min(JAX_LEG_TIMEOUT_S, remaining))
+        delay = min(delay * 2, 480.0)
+    if t_jax is None:
+        _emit(None, None, error=f"TPU backend unavailable after retries "
+                                f"({RETRY_BUDGET_S:.0f}s budget): {err}")
+        return
     t_torch = bench_torch_cpu(fields, pred)
     # "fields" processed per pipeline call: 2 tensors of N_CAL trajectories
     fields_per_call = 2 * N_CAL
     value = fields_per_call / t_jax
     baseline = fields_per_call / t_torch
-    print(json.dumps({
-        "metric": "ns_pre_joint_cp_fields_per_sec",
-        "value": round(value, 2),
-        "unit": "fields/s/chip",
-        "vs_baseline": round(value / baseline, 2),
-    }))
+    _emit(round(value, 2), round(value / baseline, 2))
 
 
 if __name__ == "__main__":
     import signal
     import sys
 
+    _is_child = len(sys.argv) > 1 and sys.argv[1] in ("--pallas-leg",
+                                                      "--jax-leg")
+
     # Global watchdog: if the TPU tunnel hangs mid-run (it periodically
-    # does), fail loudly instead of stalling the driver forever.
+    # does), fail loudly instead of stalling the driver forever. The parent
+    # still emits the driver-parseable JSON line on its way out.
     def _alarm(signum, frame):
         print("bench: watchdog expired — TPU tunnel unresponsive", file=sys.stderr)
+        if not _is_child:
+            _emit(None, None, error="watchdog expired: TPU tunnel hung "
+                                    "mid-run (2400s)")
         sys.exit(1)
 
     signal.signal(signal.SIGALRM, _alarm)
@@ -245,5 +393,7 @@ if __name__ == "__main__":
             N_CAL, NT, NX, NY, REPS, INNER_ITERS = (
                 int(v) for v in sys.argv[3].split(","))
         _pallas_leg(float(sys.argv[2]))
+    elif len(sys.argv) > 2 and sys.argv[1] == "--jax-leg":
+        _jax_leg_child(sys.argv[2])
     else:
         main()

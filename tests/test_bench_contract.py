@@ -23,3 +23,31 @@ def test_bench_json_contract():
     rec = json.loads(lines[0])
     assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
+
+
+def test_bench_emits_error_json_when_backend_unavailable():
+    """Round-2 regression: with the TPU backend unreachable, bench.py must
+    still print ONE driver-parseable JSON line carrying an "error" field —
+    not an uncaught traceback (BENCH_r02.json was rc=1/parsed:null)."""
+    import os
+
+    env = dict(os.environ)
+    # No GPU here: backend init either raises RuntimeError fast or (when
+    # the axon hook is mid-outage) hangs — both real failure modes. The
+    # short probe timeout bounds the hang case.
+    env["JAX_PLATFORMS"] = "cuda"
+    code = (
+        "import bench;"
+        "bench.RETRY_BUDGET_S = 1.0; bench.RETRY_DELAY_S = 0.1;"
+        "bench.PROBE_TIMEOUT_S = 25.0;"
+        "bench.main()"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=180, cwd="/root/repo", env=env)
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline", "error"}
+    assert rec["value"] is None and rec["vs_baseline"] is None
+    assert "unavailable" in rec["error"].lower() or "backend" in rec["error"]
