@@ -80,12 +80,17 @@ def run_2d_cp(
                      scheduler_gamma=cfg["Scheduler Gamma"],
                      seed=seed, verbose=verbose)
     train_time = time.perf_counter() - t0
-    if fused_forward:
+    if fused_forward and mesh is not None:
+        # fused Pallas rollouts on a dp mesh: pallas_call does not
+        # partition under pjit, so the fused apply runs per-shard inside
+        # shard_map (parallel/sharding.py::make_sharded_fused_apply;
+        # parity vs the unsharded run asserted in tests/test_parallel.py)
+        from ..parallel import make_sharded_fused_apply
+
+        apply_fn = make_sharded_fused_apply(model, params, mesh)
+    elif fused_forward:
         # inference rollouts through the fused Pallas Fourier blocks
-        # (models/fused.py; parity vs model.apply asserted at 7e-7).
-        # Mutually exclusive with mesh= (pallas_call does not partition
-        # under pjit — see make_fused_apply's sharding caveat).
-        assert mesh is None, "fused_forward does not compose with mesh="
+        # (models/fused.py; parity vs model.apply asserted at 7e-7)
         from ..models.fused import make_fused_apply
 
         apply_fn = make_fused_apply(model, params)

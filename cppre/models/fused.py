@@ -26,12 +26,19 @@ __all__ = ["fno2d_forward_fused", "fused_supported", "make_fused_apply"]
 
 def fused_supported(model: FNO2d, x_shape) -> bool:
     """Shape/config constraints of the fused block kernel: dropout-free,
-    2*m1 <= Nx, m2 <= Ny//2+1, Nx % 8 == 0 (the in-kernel [W, Nx, Ny] ->
-    [W*Nx, Ny] view needs sublane-aligned planes — e.g. the NS flagship's
-    100x100 grid is NOT supported and keeps the XLA path)."""
+    2*m1 <= Nx, m2 <= Ny//2+1, and the per-grid-step working set must fit
+    the scoped-VMEM ceiling (oversize grids, e.g. 512x512 at width 32,
+    must keep the XLA path instead of failing Mosaic compilation at
+    runtime). Non-8-aligned Nx (e.g. the NS flagship's 100x100 grid) is
+    supported via sublane zero-padding inside `fno2d_forward_fused`."""
+    from ..ops.pallas.fno_block import fused_block_vmem_est
+    from ..ops.pallas.stencil_kernels import _VMEM_CAP
+
     nx, ny = x_shape[2], x_shape[3]
+    w = model.width_time  # _ChannelMLP mid width == width_time
+    est = fused_block_vmem_est(w, w, nx, ny, model.modes1, model.modes2)
     return (model.dropout_rate == 0.0 and 2 * model.modes1 <= nx
-            and model.modes2 <= ny // 2 + 1 and nx % 8 == 0)
+            and model.modes2 <= ny // 2 + 1 and est <= _VMEM_CAP)
 
 
 def make_fused_apply(model, variables, interpret=None):
@@ -71,20 +78,33 @@ def _bias_branch(block_p, grid_c):
 
 def fno2d_forward_fused(model: FNO2d, variables, x, interpret=None):
     """[BS, Nvar, Nx, Ny, T_in] -> [BS, Nvar, Nx, Ny, step], identical math
-    to `model.apply(variables, x)` for dropout-free configs."""
+    to `model.apply(variables, x)` for dropout-free configs.
+
+    Non-8-aligned Nx (e.g. the NS flagship's 100x100 grid) is zero-padded
+    to the sublane multiple ONCE before the block chain and cropped after:
+    the blocks' DFT tables are zero at padded positions, so pad-lane
+    values (garbage after the first block's bias+gelu) never mix into real
+    rows — every other per-block op is pointwise in space."""
     assert model.dropout_rate == 0.0, "fused forward is inference-only"
     p = variables["params"]
+    nx = x.shape[2]
     grid = model.get_grid(x.shape)
     h = jnp.concatenate((x, grid), axis=-1)
     h = _dense(p["fc0_time"], h)
     h = jnp.transpose(h, (0, 4, 1, 2, 3))            # [B, W, V, Nx, Ny]
     grid_c = jnp.transpose(grid[:1], (0, 4, 1, 2, 3))
 
+    pad = (-nx) % 8
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+        grid_c = jnp.pad(grid_c,
+                         ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+
     def blk(name, z):
         bp = p[name]
         x3 = _bias_branch(bp, grid_c)
         return fno_block2d_fused(z, bp, x3, model.modes1, model.modes2,
-                                 interpret=interpret)
+                                 nx_true=nx, interpret=interpret)
 
     x0 = blk("f0", h)
     z = blk("f1", x0)
@@ -93,6 +113,8 @@ def fno2d_forward_fused(model: FNO2d, variables, x, interpret=None):
     z = blk("f4", x1)
     z = blk("f5", z) + x1
 
+    if pad:
+        z = z[:, :, :, :nx, :]
     z = jnp.transpose(z, (0, 2, 3, 4, 1))            # [B, V, Nx, Ny, W]
     z = _dense(p["fc1_time"], z)
     z = jax.nn.gelu(z, approximate=False)

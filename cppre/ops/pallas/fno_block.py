@@ -39,17 +39,26 @@ import numpy as np
 
 from .stencil_kernels import _on_tpu, _vmem_pad
 
-__all__ = ["fno_block2d_fused"]
+__all__ = ["fno_block2d_fused", "fused_block_vmem_est"]
 
 
-def _dft_tables(nx: int, ny: int, m1: int, m2: int):
+def _dft_tables(nx: int, ny: int, m1: int, m2: int, nx_pad: int | None = None):
     """All four transform tables (f64-built, f32-stored), matching
-    models/fno.py::_dft_basis/_irfft_weights exactly."""
+    models/fno.py::_dft_basis/_irfft_weights exactly.
+
+    `nx_pad` > nx zero-extends the x tables so the kernel can run on
+    inputs sublane-padded along x: the forward tables [nx_pad, K] get zero
+    ROWS (padded positions contribute nothing to the spectrum) and the
+    inverse tables [K, nx_pad] zero COLUMNS (padded positions reconstruct
+    to zero). The DFT itself is over the TRUE nx grid."""
+    nx_pad = nx if nx_pad is None else nx_pad
     freqs = list(range(m1)) + list(range(nx - m1, nx))
     ang_y = -2.0 * np.pi * np.outer(np.arange(ny), np.arange(m2)) / ny
     cy, sy = np.cos(ang_y), np.sin(ang_y)                      # [Ny, m2]
     ang_x = -2.0 * np.pi * np.outer(np.arange(nx), freqs) / nx
-    cx, sx = np.cos(ang_x), np.sin(ang_x)                      # [Nx, K]
+    cx = np.zeros((nx_pad, len(freqs)))
+    sx = np.zeros((nx_pad, len(freqs)))
+    cx[:nx], sx[:nx] = np.cos(ang_x), np.sin(ang_x)            # [Nx_pad, K]
     w = np.full(m2, 2.0)
     w[0] = 1.0
     if ny % 2 == 0 and m2 == ny // 2 + 1:
@@ -65,6 +74,20 @@ def _dft_tables(nx: int, ny: int, m1: int, m2: int):
             jnp.asarray(iyc, f32), jnp.asarray(iys, f32))
 
 
+def fused_block_vmem_est(w_ch: int, w_mid: int, nx: int, ny: int,
+                         m1: int, m2: int) -> int:
+    """VMEM footprint estimate (bytes) of one fused-block grid step at
+    padded-x resolution: x/out/x3 + spec/h/acc temporaries (~8 full-res
+    planes of W channels) + the two spectral weight blocks. Shared by the
+    kernel's compiler hint and `models.fused.fused_supported`'s routing
+    bound (oversize shapes must fall back to XLA instead of failing Mosaic
+    compilation at runtime)."""
+    nx_pad = _vmem_pad(nx, 8)
+    k_fr = 2 * m1
+    return (8 * max(w_ch, w_mid) * nx_pad * _vmem_pad(ny, 128)
+            + 2 * w_ch * w_ch * _vmem_pad(m2, 8) * _vmem_pad(k_fr, 128)) * 4
+
+
 def _repack_spectral(block_params, m1: int, m2: int):
     """[in, out, V, m1, m2] lo/hi pairs -> [in, out, V, m2, K] (K = 2*m1,
     lo modes then hi modes, matching the kernel's frequency order)."""
@@ -75,17 +98,25 @@ def _repack_spectral(block_params, m1: int, m2: int):
 
 
 def fno_block2d_fused(x, block_params, x3, m1: int, m2: int,
+                      nx_true: int | None = None,
                       interpret: bool | None = None):
     """One fused Fourier block. x [B, W, V, Nx, Ny] f32; block_params the
     flax param subtree of `_FNOBlock2d` (f0..f5); x3 the precomputed
     batch-constant bias branch [1, W, V, Nx, Ny]. Returns [B, W, V, Nx, Ny].
 
-    Requires dropout-free inference, 2*m1 <= Nx, m2 <= Ny//2+1, Nx % 8 == 0
-    (the in-kernel [W, Nx, Ny] -> [W*Nx, Ny] view needs sublane-aligned
-    planes); violations must be routed to the XLA path by the caller."""
+    Requires dropout-free inference, 2*m1 <= nx_true, m2 <= Ny//2+1, and
+    Nx % 8 == 0 (the in-kernel [W, Nx, Ny] -> [W*Nx, Ny] view needs
+    sublane-aligned planes). Non-8-aligned TRUE grids are supported by
+    zero-padding x along axis 3 up to the sublane multiple and passing the
+    real grid size as `nx_true`: the DFT tables carry zero rows/columns at
+    padded positions, so pad-lane garbage (bias + gelu leave it nonzero)
+    never enters the spectrum and the caller crops it after the block
+    chain (`models.fused.fno2d_forward_fused`). Other violations must be
+    routed to the XLA path by the caller."""
     b, w_ch, nv, nx, ny = x.shape
+    nx_true = nx if nx_true is None else nx_true
     k_fr = 2 * m1
-    assert 2 * m1 <= nx and m2 <= ny // 2 + 1 and nx % 8 == 0
+    assert 2 * m1 <= nx_true and m2 <= ny // 2 + 1 and nx % 8 == 0
 
     wcr, wci = _repack_spectral(block_params, m1, m2)
     mlp = block_params["_ChannelMLP_0"]
@@ -94,9 +125,9 @@ def fno_block2d_fused(x, block_params, x3, m1: int, m2: int,
     byp = block_params["_Channel1x1_0"]["Dense_0"]
     aw, bw = byp["kernel"], byp["bias"]                          # [W, W], [W]
     w_mid = a1.shape[1]
-    tables = _dft_tables(nx, ny, m1, m2)
+    tables = _dft_tables(nx_true, ny, m1, m2, nx_pad=nx)
     cy, sy, cxk, sxk, cxT, sxT, iyc, iys = tables
-    inv_scale = 1.0 / (nx * ny)
+    inv_scale = 1.0 / (nx_true * ny)
 
     if interpret is None:
         if not _on_tpu():
@@ -171,8 +202,7 @@ def fno_block2d_fused(x, block_params, x3, m1: int, m2: int,
                            memory_space=pltpu.VMEM)
 
     # VMEM: x + out + x3 + spec/h/acc temporaries (~6 planes) + weights
-    est = (8 * w_ch * _vmem_pad(nx, 8) * _vmem_pad(ny, 128)
-           + 2 * w_ch * w_ch * _vmem_pad(m2, 8) * _vmem_pad(k_fr, 128)) * 4
+    est = fused_block_vmem_est(w_ch, w_mid, nx, ny, m1, m2)
     from .stencil_kernels import _vmem_params
 
     return pl.pallas_call(

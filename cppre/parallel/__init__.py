@@ -28,6 +28,7 @@ from .sharding import (
     shard_batch,
     fno_param_shardings,
     sharded_calibrate,
+    make_sharded_fused_apply,
     sharded_fused_cp_scores,
     make_sharded_train_step,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "shard_batch",
     "fno_param_shardings",
     "sharded_calibrate",
+    "make_sharded_fused_apply",
     "sharded_fused_cp_scores",
     "make_sharded_train_step",
     "stencil_conv_sharded",

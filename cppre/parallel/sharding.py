@@ -183,3 +183,43 @@ def sharded_fused_cp_scores(diff_stats_fn, truth, prediction, mesh: Mesh,
     truth = shard_batch(truth, mesh, axis)
     prediction = shard_batch(prediction, mesh, axis)
     return jax.jit(local_scores)(truth, prediction)
+
+
+def make_sharded_fused_apply(model, variables, mesh: Mesh, axis: str = "dp",
+                             interpret=None):
+    """dp-sharded drop-in for `models.fused.make_fused_apply`: the fused
+    Pallas FNO forward runs independently on each device's LOCAL batch
+    slice inside `shard_map` (pallas_call does not partition under pjit,
+    so batch-sharded inputs through plain jit would gather). Samples are
+    embarrassingly parallel in the forward, so no collective is needed —
+    out stays batch-sharded for the downstream (sharding-transparent) CP
+    phase. Unsupported shapes fall back to `model.apply` per shard."""
+    from functools import partial
+
+    from jax import shard_map
+
+    from ..models.fused import fno2d_forward_fused, fused_supported
+
+    dp = mesh.shape[axis]
+
+    def local_apply(x):
+        if fused_supported(model, x.shape):
+            return fno2d_forward_fused(model, variables, x,
+                                       interpret=interpret)
+        return model.apply(variables, x)
+
+    @jax.jit
+    def apply_fn(x):
+        if x.shape[0] % dp != 0:
+            raise ValueError(
+                f"the '{axis}' mesh axis extent ({dp}) must divide the "
+                f"batch ({x.shape[0]}) so every shard runs an identical "
+                f"fused kernel")
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # info (same caveat as sharded_fused_cp_scores)
+        f = partial(shard_map, mesh=mesh, in_specs=(spec,),
+                    out_specs=spec, check_vma=False)(local_apply)
+        return f(x)
+
+    return apply_fn

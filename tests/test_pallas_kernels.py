@@ -485,3 +485,38 @@ def test_fused_jorek_matches_pre_jorek(equation, interpret):
         # non-affine grid: falls back to the XLA path, same shape
         nb = jorek_residual_fused(fields, R**2, equation=equation)
         assert nb.shape == ref.shape
+
+
+@pytest.mark.parametrize("num_vars,nx,ny,modes,width",
+                         [(1, 10, 12, 4, 8), (2, 25, 25, 6, 8)])
+def test_fused_fno_block_non_aligned_nx_parity(num_vars, nx, ny, modes,
+                                               width):
+    """Non-8-aligned Nx (the NS flagship is 100x100) rides the fused path
+    via sublane zero-padding + zeroed DFT-table rows; parity vs
+    FNO2d.apply pins that the pad lanes never leak into real rows."""
+    from cppre.models import FNO2d, fno2d_forward_fused, fused_supported
+
+    m = FNO2d(T_in=1, step=1, modes1=modes, modes2=modes,
+              num_vars=num_vars, width_time=width)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((3, num_vars, nx, ny, 1)),
+                    jnp.float32)
+    assert fused_supported(m, x.shape)
+    v = m.init(jax.random.PRNGKey(2), x)
+    ref = np.asarray(m.apply(v, x))
+    out = np.asarray(fno2d_forward_fused(m, v, x))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, atol=3e-5 * max(scale, 1.0))
+
+
+def test_fused_supported_vmem_and_alignment_routing():
+    """The NS flagship grid (100x100, width 32) must now be supported;
+    oversize grids whose per-step working set exceeds the scoped-VMEM
+    ceiling must route to model.apply instead of failing Mosaic compile."""
+    from cppre.models import FNO2d, fused_supported
+
+    m = FNO2d(T_in=1, step=1, modes1=8, modes2=8, num_vars=3, width_time=32)
+    assert fused_supported(m, (100, 3, 100, 100, 1))
+    big = FNO2d(T_in=1, step=1, modes1=8, modes2=8, num_vars=1,
+                width_time=32)
+    assert not fused_supported(big, (4, 1, 512, 512, 1))

@@ -411,3 +411,23 @@ def test_experiment_engine_mesh_kwarg_parity():
                                np.asarray(r1["coverage_aer_pre"]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(r2["qhat"]), np.asarray(r1["qhat"]),
                                rtol=1e-4)
+
+
+def test_experiment_engine_fused_forward_mesh_parity():
+    """fused_forward=True composes with mesh=: the fused Pallas FNO apply
+    runs per-shard inside shard_map (make_sharded_fused_apply) and the
+    coverage curves must match the unsharded fused run."""
+    from cppre.experiments.wave import run
+
+    cfg = {"Epochs": 2, "Nx": 24, "Modes": 4, "Width_time": 8,
+           "Batch Size": 10, "n_train": 10, "n_cal": 24, "n_pred": 8,
+           "T_out": 10}
+    r1 = run("joint", config=cfg, verbose=False, eps=1e-3,
+             fused_forward=True)
+    mesh = make_mesh(8, dp=8, tp=1)
+    r2 = run("joint", config=cfg, verbose=False, params=r1["params"],
+             mesh=mesh, eps=1e-3, fused_forward=True)
+    np.testing.assert_allclose(np.asarray(r2["coverage_aer_pre"]),
+                               np.asarray(r1["coverage_aer_pre"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r2["qhat"]), np.asarray(r1["qhat"]),
+                               rtol=1e-4)
