@@ -130,13 +130,18 @@ def load_efit_csv(path: str, n_grid: int = 33, nrows: int | None = 10000):
 
 
 def run_efit(psi_true=None, psi_pred=None, R=None, dr=None, dz=None,
-             alphas=None, seed: int = 0, verbose: bool = True):
+             alphas=None, seed: int = 0, verbose: bool = True,
+             plots_dir: str | None = None, wall=None):
     """Marginal CP over (psi_true, psi_pred) pairs (`EFIT/EFIT_cp.py:36-110`).
 
     Without arguments, builds a synthetic Solov'ev ensemble with
-    surrogate-like perturbed predictions."""
+    surrogate-like perturbed predictions. With `plots_dir`, saves the
+    reference's tokamak-wall contour overlay of a prediction residual and
+    the per-cell CP bound (`EFIT/EFIT_cp.py:111-160`); `wall` optionally
+    supplies the machine polyline [N, 2] (the reference's JET-wall CSV)."""
     if psi_true is not None and (R is None or dr is None or dz is None):
         raise ValueError("run_efit with explicit psi arrays requires R, dr, dz")
+    Z = None
     if psi_true is None:
         R, Z, _, psi = solovev_batch(400, 64, 64, seed=seed)
         dr, dz = float(R[1] - R[0]), float(Z[1] - Z[0])
@@ -153,6 +158,30 @@ def run_efit(psi_true=None, psi_pred=None, R=None, dr=None, dz=None,
     if verbose:
         for a, c in zip(out["alphas"], out["coverage"]):
             print(f"alpha={a:.2f}  coverage={c:.3f}")
+    if plots_dir is not None:
+        import os
+
+        from ..cp.inductive import calibrate
+        from ..utils.plot_tools import wall_contour_figure
+
+        os.makedirs(plots_dir, exist_ok=True)
+        if Z is None:
+            nz = np.asarray(psi_true).shape[-1]
+            Z = (np.arange(nz) - (nz - 1) / 2.0) * dz
+        # the reference's "Residual and Error Bar" overlay: one prediction
+        # residual against the per-cell qhat at alpha=0.5
+        scores = jnp.abs(res_true[cal] - res_pred[cal])
+        q_plot = calibrate(scores, ncal, 0.5)
+        fig = wall_contour_figure(
+            np.asarray(R).reshape(-1)[1:-1], np.asarray(Z).reshape(-1)[1:-1],
+            np.asarray(res_pred[prd][0]), np.asarray(q_plot), wall=wall,
+            save_path=os.path.join(plots_dir, "efit_wall_contour.pdf"))
+        try:
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
+        except Exception:
+            pass
     return out
 
 

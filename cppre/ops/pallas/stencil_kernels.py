@@ -914,6 +914,21 @@ def mhd_joint_cp_diff_stats_chunked(truth, prediction,
         whole, t_block, interpret)
 
 
+def _jorek_xla_diff_stats(truth, prediction, R, Dc, K, equation):
+    """XLA fallback (diff, sum, sumsq) for non-affine major-radius grids:
+    the fused kernels rebuild R in-kernel from iota and so require an
+    affine grid, but real tokamak npz data loaded through the public API
+    can carry non-uniform R — those route through `PRE_JOREK` residuals
+    with identical moment semantics (routing pinned in
+    tests/test_pallas_kernels.py)."""
+    from ...residuals.jorek import PRE_JOREK
+
+    # dt/dR/dZ only enter PRE_JOREK's norms=True branch, unused here
+    pre = PRE_JOREK(jnp.asarray(R), 1.0, 1.0, 1.0, D=Dc, K=K)
+    diff = pre.residual(truth, equation) - pre.residual(prediction, equation)
+    return diff, jnp.sum(diff, axis=0), jnp.sum(diff * diff, axis=0)
+
+
 def jorek_joint_cp_scores_fused(truth, prediction, R, Dc: float = 3.4,
                                 K: float = 2.25e-7,
                                 equation: str = "continuity",
@@ -922,9 +937,15 @@ def jorek_joint_cp_scores_fused(truth, prediction, R, Dc: float = 3.4,
     """Joint-CP nonconformity scores over a JOREK reduced-MHD PRE
     (`Joint/JOREK_residuals_CP.py` flow: modulation_func(+eps guard) +
     ncf_metric_joint), one fused read of each [BS, 3, Nt, NR, NZ] tensor.
-    R is the 1-D major-radius grid."""
+    R is the 1-D major-radius grid; non-affine grids fall back to the XLA
+    lowering (see `_jorek_xla_diff_stats`)."""
     _, _, nt, nx, ny = truth.shape
-    r0, dr = _jorek_affine(R)  # affine required for the fused path
+    aff = _jorek_affine(R)
+    if aff is None:
+        diff, s, sq = _jorek_xla_diff_stats(truth, prediction, R, Dc, K,
+                                            equation)
+        return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
+    r0, dr = aff
     math_fn = lambda f: _jorek_math(equation, f, nt, nx, ny, r0, dr, Dc, K)
     chunked = lambda: jorek_joint_cp_diff_stats_chunked(
         truth, prediction, R, Dc, K, equation)
@@ -940,9 +961,13 @@ def jorek_joint_cp_diff_stats_chunked(truth, prediction, R, Dc: float = 3.4,
                                       interpret: bool | None = None):
     """JOREK instance of `_joint_cp_diff_stats_chunked` for shapes whose
     whole 3-field trajectories exceed VMEM. The chunk math rebuilds the
-    interior R weight from the (tile-padded) chunk extent."""
+    interior R weight from the (tile-padded) chunk extent. Non-affine R
+    grids fall back to the XLA lowering (see `_jorek_xla_diff_stats`)."""
 
-    r0, dr = _jorek_affine(R)  # affine required for the fused path
+    aff = _jorek_affine(R)
+    if aff is None:
+        return _jorek_xla_diff_stats(truth, prediction, R, Dc, K, equation)
+    r0, dr = aff
 
     def whole(t, p):
         # no chunked_fn here (see ns_joint_cp_diff_stats_chunked)

@@ -90,11 +90,30 @@ def sharded_calibrate(scores, alpha: float, mesh: Mesh):
     """Split-CP quantile with the calibration batch sharded over 'dp'.
 
     The quantile reduces over the (sharded) batch axis; XLA lowers it to a
-    per-shard sort + all-gather of the shard boundaries on ICI."""
-    from ..cp.inductive import calibrate
+    per-shard sort + all-gather of the shard boundaries on ICI.
 
-    scores = shard_batch(scores, mesh)
-    return jax.jit(lambda s: calibrate(s, s.shape[0], alpha))(scores)
+    n_cal values that do not divide the dp extent (the experiments use
+    n_cal=100 on 8 chips) are padded with +inf sentinels up to the next
+    multiple — the CP order statistic is taken at the index of the TRUE
+    batch (mirroring `jnp.quantile(method='higher')`'s f32 index
+    arithmetic bit-for-bit), so padding never changes the result
+    (exactness property-tested in tests/test_parallel.py)."""
+    from ..cp.inductive import calibrate, cp_quantile_level
+
+    scores = jnp.asarray(scores)
+    n = scores.shape[0]
+    dp = mesh.shape["dp"]
+    pad = (-n) % dp
+    if pad == 0:
+        scores = shard_batch(scores, mesh)
+        return jax.jit(lambda s: calibrate(s, n, alpha))(scores)
+    # mirror jnp.quantile's index computation in jax's compute dtype
+    dt = np.float64 if jax.config.jax_enable_x64 else np.float32
+    q = dt(cp_quantile_level(n, alpha))
+    k = int(np.clip(np.ceil(q * dt(n - 1)), 0, n - 1))
+    fill = jnp.full((pad,) + scores.shape[1:], jnp.inf, scores.dtype)
+    scores = shard_batch(jnp.concatenate([scores, fill]), mesh)
+    return jax.jit(lambda s: jnp.sort(s, axis=0)[k])(scores)
 
 
 def make_sharded_train_step(apply_fn, tx, step: int, T_out: int, loss_func,

@@ -9,7 +9,51 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["subplots_2d", "subplots_1d", "coverage_figure", "save_experiment_artifacts"]
+__all__ = ["subplots_2d", "subplots_1d", "coverage_figure",
+           "wall_contour_figure", "save_experiment_artifacts"]
+
+
+def wall_contour_figure(R, Z, field, qhat, wall=None, levels: int = 10,
+                        title: str = "Residual and Error Bar",
+                        save_path: str | None = None):
+    """EFIT-style residual/error-bar contour overlay on the tokamak
+    cross-section (`EFIT/EFIT_cp.py:111-160`): blue contours of the
+    per-cell field (e.g. a prediction residual), red contours of the
+    per-cell CP bound qhat, and the tokamak wall polyline in black, equal
+    aspect, R/Z axes.
+
+    `field`/`qhat` are [NR, NZ] on the (R, Z) grid (1-D coordinate
+    arrays); `wall` is an [N, 2] (R, Z) polyline — defaults to a D-shaped
+    wall hugging the grid extent when the machine geometry (the
+    reference's JET-wall CSV, not shipped) is unavailable."""
+    import matplotlib.pyplot as plt
+
+    R, Z = np.asarray(R).reshape(-1), np.asarray(Z).reshape(-1)
+    field = np.asarray(field)
+    qhat = np.broadcast_to(np.asarray(qhat), field.shape)
+    fig, ax = plt.subplots(figsize=(5, 6))
+    # contour expects [len(Z), len(R)]: transpose the [NR, NZ] fields
+    ax.contour(R, Z, field.T, colors="blue", alpha=0.4, levels=levels)
+    ax.contour(R, Z, qhat.T, colors="red", alpha=0.4, levels=levels)
+    if wall is None:
+        # synthetic D-shaped first wall: elongated, slightly triangular
+        r0, z0 = R.mean(), Z.mean()
+        a = 0.55 * (R.max() - R.min())
+        b = 0.55 * (Z.max() - Z.min())
+        th = np.linspace(0, 2 * np.pi, 128)
+        wall = np.stack([r0 + a * np.cos(th + 0.3 * np.sin(th)),
+                         z0 + b * np.sin(th)], axis=1)
+    wall = np.asarray(wall)
+    ax.plot(wall[:, 0], wall[:, 1], linewidth=4, color="black",
+            label="tokamak")
+    ax.axis("equal")
+    ax.set_xlabel("R")
+    ax.set_ylabel("Z")
+    ax.set_title(title)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    return fig
 
 
 def subplots_2d(values, titles=None, flatten: bool = False, suptitle: str | None = None,

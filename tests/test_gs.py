@@ -106,3 +106,16 @@ def test_freegsnke_pipeline_inr_surrogate():
     ideal = 1 - out["alphas"]
     assert np.mean(np.abs(out["coverage_marginal"] - ideal)) < 0.15
     assert np.all(np.isfinite(out["coverage_joint"]))
+
+
+def test_run_efit_saves_wall_contour_artifact(tmp_path):
+    """run_efit(plots_dir=...) saves the reference's tokamak-wall contour
+    overlay (`EFIT/EFIT_cp.py:111-160`) of a prediction residual and the
+    per-cell CP bound."""
+    import os
+
+    from cppre.experiments.gs import run_efit
+
+    run_efit(seed=0, verbose=False, plots_dir=str(tmp_path))
+    path = tmp_path / "efit_wall_contour.pdf"
+    assert path.exists() and os.path.getsize(path) > 0

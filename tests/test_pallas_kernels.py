@@ -520,3 +520,38 @@ def test_fused_supported_vmem_and_alignment_routing():
     big = FNO2d(T_in=1, step=1, modes1=8, modes2=8, num_vars=1,
                 width_time=32)
     assert not fused_supported(big, (4, 1, 512, 512, 1))
+
+
+def test_jorek_non_affine_r_grid_routes_to_xla_with_parity():
+    """Non-affine major-radius grids (real tokamak npz data can carry
+    them) must route jorek_joint_cp_scores_fused AND the chunked
+    diff-stats instance to the XLA PRE_JOREK path — previously these
+    crashed unpacking _jorek_affine(R) == None — with results matching
+    the cp reference computation on the same non-uniform grid."""
+    from cppre.cp.inductive import modulation_func, ncf_metric_joint
+    from cppre.ops.pallas import jorek_joint_cp_scores_fused
+    from cppre.ops.pallas.stencil_kernels import (
+        jorek_joint_cp_diff_stats_chunked,
+    )
+    from cppre.residuals.jorek import PRE_JOREK
+
+    rng = np.random.default_rng(13)
+    nx, ny = 12, 16
+    R = np.linspace(1.0, 2.0, nx).astype(np.float32) ** 2  # non-affine
+    truth = jnp.asarray(rng.standard_normal((4, 3, 7, nx, ny)) + 2.0,
+                        jnp.float32)
+    pred = truth + 0.05 * jnp.asarray(rng.standard_normal(truth.shape),
+                                      jnp.float32)
+    pre = PRE_JOREK(R, 1.0, 1.0, 1.0)
+    ro, rp = pre.residual(truth, "continuity"), pre.residual(pred, "continuity")
+    mod = modulation_func(ro, rp) + 1e-6
+    expected = np.asarray(ncf_metric_joint(ro, rp, mod))
+    got = np.asarray(jorek_joint_cp_scores_fused(truth, pred, R))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+    diff, s, sq = jorek_joint_cp_diff_stats_chunked(truth, pred, R)
+    np.testing.assert_allclose(np.asarray(diff), np.asarray(ro - rp),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s),
+                               np.asarray(jnp.sum(ro - rp, axis=0)),
+                               atol=1e-5)

@@ -431,3 +431,22 @@ def test_experiment_engine_fused_forward_mesh_parity():
                                np.asarray(r1["coverage_aer_pre"]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(r2["qhat"]), np.asarray(r1["qhat"]),
                                rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_cal", [37, 100, 104, 400])
+@pytest.mark.parametrize("alpha", [0.05, 0.1, 0.5, 0.9])
+def test_sharded_calibrate_exact_uneven_shards_property(n_cal, alpha):
+    """sharded_calibrate must equal single-device calibrate bit-for-bit
+    across n_cal values that do NOT divide the dp extent evenly (37, 100)
+    and across the alpha range the experiments sweep — guards the
+    all-gather-free sharded quantile against uneven shard layouts."""
+    from cppre.cp import calibrate
+
+    mesh = make_mesh(8, dp=8, tp=1)
+    rng = np.random.default_rng(n_cal * 7 + int(alpha * 100))
+    for shape in [(n_cal,), (n_cal, 5, 3)]:
+        scores = jnp.asarray(rng.random(shape), jnp.float32)
+        q_ref = calibrate(scores, n_cal, alpha)
+        q_shd = sharded_calibrate(scores, alpha, mesh)
+        np.testing.assert_allclose(np.asarray(q_shd), np.asarray(q_ref),
+                                   atol=0)
