@@ -47,6 +47,7 @@ def run_2d_cp(
     return_residuals: bool = False,
     mesh=None,                    # jax.sharding.Mesh: dp-shard the CP phase
     fused_forward: bool = False,  # fused Pallas FNO blocks for the rollouts
+    fused_train: bool = False,    # fused-forward custom_vjp training path
 ):
     T_in, T_out, step = cfg["T_in"], cfg["T_out"], cfg["Step"]
     n_train, n_cal = cfg.get("n_train", 0), cfg["n_cal"]
@@ -72,7 +73,16 @@ def run_2d_cp(
             raise ValueError("params not given and n_train == 0")
         tr_a, tr_u = a_enc[:n_train], u_enc[:n_train]
         params = model.init(jax.random.PRNGKey(seed), tr_a[:1])
-        params = fit(model.apply, params, tr_a, tr_u, tr_a[-5:], tr_u[-5:],
+        if fused_train:
+            # every forward leg of the train step (incl. remat recompute)
+            # rides the fused Pallas block; backward is exact flax math
+            # (models/fused.py::make_fused_train_apply, custom_vjp)
+            from ..models.fused import make_fused_train_apply
+
+            train_apply = make_fused_train_apply(model)
+        else:
+            train_apply = model.apply
+        params = fit(train_apply, params, tr_a, tr_u, tr_a[-5:], tr_u[-5:],
                      epochs=cfg["Epochs"], batch_size=cfg["Batch Size"],
                      step=step, T_out=T_out, loss_func=lp_loss,
                      lr=cfg["Learning Rate"],

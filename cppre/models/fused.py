@@ -15,13 +15,16 @@ differentiates through the flax module, which this path does not support.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 from ..ops.pallas.fno_block import fno_block2d_fused
 from .fno import FNO2d, PRECISION
 
-__all__ = ["fno2d_forward_fused", "fused_supported", "make_fused_apply"]
+__all__ = ["fno2d_forward_fused", "fused_supported", "make_fused_apply",
+           "make_fused_train_apply"]
 
 
 def fused_supported(model: FNO2d, x_shape) -> bool:
@@ -66,6 +69,106 @@ def make_fused_apply(model, variables, interpret=None):
 def _dense(p, x):
     return jnp.einsum("...i,io->...o", x, p["kernel"],
                       precision=PRECISION) + p["bias"]
+
+
+# ---------------------------------------------------------------------------
+# trainable fused block: Pallas forward, XLA backward (custom_vjp)
+#
+# Training is activation-HBM-bound (BASELINE.md training roofline): each XLA
+# Fourier block streams the [B, W, V, Nx, Ny] activation through HBM 4-6
+# times per forward, and an AR training step runs ~80 forward-equivalents
+# (rollout chunks x forward + remat recompute + backward). Routing every
+# FORWARD leg — including the remat recompute inside the backward of
+# jax.checkpoint — through the one-VMEM-pass fused kernel cuts those legs to
+# 2 HBM passes per block; the backward leg keeps XLA math (exact flax
+# gradients by construction: the vjp rule IS the flax block).
+# ---------------------------------------------------------------------------
+
+
+def _block_xla(z, bp, x3, m1, m2):
+    """XLA math of one Fourier block on [B, W, V, Nx, Ny] — the
+    differentiation rule for the fused Pallas forward. Reuses the flax
+    modules themselves so gradients match `model.apply`'s exactly.
+    `bp` leaves not consumed here (the bias branch `_Channel1x1_1`) get
+    zero cotangents; their gradients flow through the `x3` input, computed
+    differentiably outside."""
+    from .fno import SpectralConv2d, _Channel1x1, _ChannelMLP
+
+    w, nv = z.shape[1], z.shape[2]
+    x1 = SpectralConv2d(w, w, nv, m1, m2).apply(
+        {"params": bp["SpectralConv2d_0"]}, z)
+    x1 = _ChannelMLP(w, w).apply({"params": bp["_ChannelMLP_0"]}, x1)
+    x2 = _Channel1x1(w).apply({"params": bp["_Channel1x1_0"]}, z)
+    return jax.nn.gelu(x1 + x2 + x3, approximate=False)
+
+
+def _fused_block_primal(z, bp, x3, m1, m2, interpret):
+    nx = z.shape[3]
+    pad = (-nx) % 8
+    if pad:
+        widths = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
+        out = fno_block2d_fused(jnp.pad(z, widths), bp, jnp.pad(x3, widths),
+                                m1, m2, nx_true=nx, interpret=interpret)
+        return out[:, :, :, :nx, :]
+    return fno_block2d_fused(z, bp, x3, m1, m2, interpret=interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_block_trainable(z, bp, x3, m1, m2, interpret):
+    return _fused_block_primal(z, bp, x3, m1, m2, interpret)
+
+
+def _fused_block_fwd(z, bp, x3, m1, m2, interpret):
+    return _fused_block_primal(z, bp, x3, m1, m2, interpret), (z, bp, x3)
+
+
+def _fused_block_bwd(m1, m2, interpret, res, g):
+    z, bp, x3 = res
+    _, vjp = jax.vjp(lambda a, b, c: _block_xla(a, b, c, m1, m2), z, bp, x3)
+    return vjp(g)
+
+
+_fused_block_trainable.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def make_fused_train_apply(model: FNO2d, interpret=None):
+    """Differentiable `apply_fn(variables, x)` whose six Fourier-block
+    forwards run the fused Pallas kernel and whose backward is the exact
+    flax block math (custom_vjp) — a drop-in for `model.apply` in
+    `train.loops.fit`/`make_train_step` (the remat recompute legs ride the
+    fused kernel too). Dropout-free configs only; unsupported shapes fall
+    back to `model.apply` per call (gradients then come from flax
+    directly)."""
+
+    def apply_fn(variables, x):
+        if model.dropout_rate != 0.0 or not fused_supported(model, x.shape):
+            return model.apply(variables, x)
+        p = variables["params"]
+        grid = model.get_grid(x.shape)
+        h = jnp.concatenate((x, grid), axis=-1)
+        h = _dense(p["fc0_time"], h)
+        h = jnp.transpose(h, (0, 4, 1, 2, 3))        # [B, W, V, Nx, Ny]
+        grid_c = jnp.transpose(grid[:1], (0, 4, 1, 2, 3))
+
+        def blk(name, z):
+            bp = p[name]
+            x3 = _bias_branch(bp, grid_c)
+            return _fused_block_trainable(z, bp, x3, model.modes1,
+                                          model.modes2, interpret)
+
+        x0 = blk("f0", h)
+        z = blk("f1", x0)
+        z = blk("f2", z) + x0
+        x1 = blk("f3", z)
+        z = blk("f4", x1)
+        z = blk("f5", z) + x1
+
+        z = jnp.transpose(z, (0, 2, 3, 4, 1))        # [B, V, Nx, Ny, W]
+        z = _dense(p["fc1_time"], z)
+        z = jax.nn.gelu(z, approximate=False)
+        return _dense(p["fc2_time"], z)
+
+    return apply_fn
 
 
 def _bias_branch(block_p, grid_c):

@@ -29,6 +29,11 @@ STAGES = [
     ("bench", ["python", "bench.py"], 1800),
     ("scaling", ["python", "scripts/bench_scaling.py"], 3000),
     ("fused_fno", ["python", "scripts/bench_fused_fno.py"], 1800),
+    ("train_roofline_xla", ["python", "scripts/train_roofline.py"], 1800),
+    ("train_roofline_fused",
+     ["python", "scripts/train_roofline.py", "fused"], 1800),
+    ("train_roofline_fused_noremat",
+     ["python", "scripts/train_roofline.py", "fused", "noremat"], 1800),
     ("ns_flagship", ["python", "scripts/ns_flagship_tpu.py"], 5400),
     ("mhd_jorek_burgers", ["python", "scripts/flagship_sweep_tpu.py"], 5400),
     ("wave_flagship", ["python", "scripts/wave_flagship_tpu.py"], 5400),

@@ -26,12 +26,13 @@ BATCH, NVAR, NX, NY, T_IN, T_OUT, STEP = 50, 1, 64, 64, 1, 20, 1
 PEAK_BF16 = 197e12
 
 
-def main():
-    from cppre.models import FNO2d
+def main(fused: bool = False, remat: bool = True):
+    from cppre.models import FNO2d, make_fused_train_apply
     from cppre.train.loops import make_optimizer, make_train_step
     from cppre.train.losses import lp_loss
 
-    print("backend:", jax.default_backend(), flush=True)
+    print(f"backend: {jax.default_backend()}  fused={fused}  remat={remat}",
+          flush=True)
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((BATCH, NVAR, NX, NY, T_IN)), jnp.float32)
     u = jnp.asarray(rng.standard_normal((BATCH, NVAR, NX, NY, T_OUT)), jnp.float32)
@@ -41,7 +42,9 @@ def main():
     params = model.init(jax.random.PRNGKey(0), a)
     tx = make_optimizer(5e-3)
     opt_state = tx.init(params)
-    train_step = make_train_step(model.apply, tx, STEP, T_OUT, lp_loss)
+    apply_fn = make_fused_train_apply(model) if fused else model.apply
+    train_step = make_train_step(apply_fn, tx, STEP, T_OUT, lp_loss,
+                                 remat=remat)
 
     # XLA's own cost model for one step
     lowered = jax.jit(lambda p, s, xx, yy: train_step(p, s, xx, yy)[:2]).lower(
@@ -82,4 +85,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # A/B the fused-forward custom_vjp training path (VERDICT r2 #5):
+    #   python scripts/train_roofline.py          -> XLA baseline
+    #   python scripts/train_roofline.py fused    -> fused forward legs
+    #   python scripts/train_roofline.py fused noremat -> + no rollout remat
+    main(fused="fused" in sys.argv[1:], remat="noremat" not in sys.argv[1:])
