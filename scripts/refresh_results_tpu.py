@@ -38,6 +38,9 @@ STAGES = [
     ("mhd_jorek_burgers", ["python", "scripts/flagship_sweep_tpu.py"], 5400),
     ("wave_flagship", ["python", "scripts/wave_flagship_tpu.py"], 5400),
     ("al_advection", ["python", "scripts/al_advection_tpu.py"], 5400),
+    # last: the reference-scale Wave UQ protocol (10 resamples x 150 sims,
+    # VERDICT r2 item 6) — longest stage, failures don't block anything
+    ("uq_wave", ["python", "scripts/uq_family_tpu.py", "Wave"], 12000),
 ]
 
 

@@ -26,14 +26,29 @@ OVERRIDES = {
     "n_ensemble": 3,
 }
 
+# Wave runs at (toward-)reference scale (VERDICT r2 item 6): >=10 resamples
+# with trained models reused across resamples (the harness trains once per
+# method — eval is the cheap part, as in `Other_UQ/Evaluation/Eval.py:121-122`)
+# and n_eval >= 150 test sims per resample.
+FAMILY_OVERRIDES = {
+    "Wave": {
+        "n_total": 210,
+        "n_train_eval": 60,
+        "runs": 10,
+        "n_eval": 150,
+        "samples": 10,
+    },
+}
+
 
 def main(case: str = "Navier-Stokes"):
     from cppre.uq.run_eval import run
 
+    overrides = dict(OVERRIDES, **FAMILY_OVERRIDES.get(case, {}))
     t0 = time.perf_counter()
-    res = run(case, overrides=OVERRIDES, verbose=True)
+    res = run(case, overrides=overrides, verbose=True)
     res["_wall_s"] = time.perf_counter() - t0
-    res["_protocol"] = dict(OVERRIDES)
+    res["_protocol"] = dict(overrides)
 
     path = "/root/repo/results_uq.json"
     existing = json.load(open(path)) if os.path.exists(path) else {}
