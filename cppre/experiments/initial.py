@@ -30,7 +30,7 @@ from ..train.normalizers import Identity
 from ..train.rollout import validation_AR
 from ..utils.checkpoint import load_checkpoint, load_norms
 
-__all__ = ["run_offline"]
+__all__ = ["run_offline", "run_initial", "INITIAL_CONFIGS"]
 
 
 def run_offline(*, data, residual_fn, cfg: dict, ckpt: str | None = None,
@@ -133,3 +133,63 @@ def run_offline(*, data, residual_fn, cfg: dict, ckpt: str | None = None,
         for a, c in zip(out["alphas"], out["coverage"]):
             print(f"alpha={a:.2f}  coverage={c:.3f}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Historical per-family pipelines (`/root/reference/Expts_initial/*.py`).
+#
+# Each script is the same single-shot skeleton the library factors into the
+# family drivers — config dict, data, AR (or single-shot step==T_out)
+# rollout, additive-kernel residual, PRE-only marginal CP, coverage sweep —
+# at an EARLIER configuration (longer T_in windows, chunked steps, per-file
+# cites below). `run_initial` reproduces each at its historical
+# configuration; the Advection variant keeps the residual-bound inversion
+# (`Expts_initial/Advection_Residuals_CP.py:340-352`) via `invert_residual`.
+# ---------------------------------------------------------------------------
+
+INITIAL_CONFIGS = {
+    # Expts_initial/Advection_Residuals_CP.py:13-37 (1-D, single-shot 30)
+    "Advection": {"T_in": 20, "T_out": 30, "Step": 30, "Width": 32,
+                  "Modes": 8, "Variables": 1, "Batch Size": 50,
+                  "n_cal": 100, "n_pred": 100},
+    # Expts_initial/Burgers_Residuals_CP.py:13-37 (1-D, single-shot 30)
+    "Burgers": {"T_in": 20, "T_out": 30, "Step": 30, "Width": 32,
+                "Modes": 8, "Variables": 1, "Batch Size": 50,
+                "n_cal": 100, "n_pred": 100},
+    # Expts_initial/Wave_Residuals_CP.py:13-37 (2-D, chunked step 10)
+    "Wave": {"T_in": 20, "T_out": 60, "Step": 10, "Width_time": 32,
+             "Modes": 8, "Variables": 1, "Batch Size": 50,
+             "n_cal": 100, "n_pred": 100},
+    # Expts_initial/NS_Residuals_CP.py:12-36 (4 fields, chunked step 10)
+    "Navier-Stokes": {"T_in": 10, "T_out": 40, "Step": 10, "Width_time": 16,
+                      "Modes": 8, "Variables": 4, "Batch Size": 50,
+                      "n_cal": 100, "n_pred": 100},
+    # Expts_initial/MHD_Residuals_CP.py:12-36 (6 fields, chunked step 5)
+    "MHD": {"T_in": 10, "T_out": 20, "Step": 5, "Width_time": 16,
+            "Modes": 8, "Variables": 6, "Batch Size": 20,
+            "n_cal": 100, "n_pred": 100},
+    # Expts_initial/JOREK_residuals_CP.py:12-36 (3 fields, chunked step 5)
+    "JOREK": {"T_in": 10, "T_out": 40, "Step": 5, "Width_time": 32,
+              "Modes": 16, "Variables": 3, "Batch Size": 10,
+              "n_cal": 100, "n_pred": 100},
+}
+
+
+def run_initial(case: str, config: dict | None = None, **kw):
+    """One historical `Expts_initial` pipeline, by family.
+
+    Delegates to the family driver in marginal mode (the initial scripts'
+    CP is marginal PRE-only over `|cal_residual|`,
+    `Expts_initial/Wave_Residuals_CP.py:268-300`) at the script's
+    configuration, overridable via `config`. Extra kwargs pass through to
+    the driver (params=, verbose=, data_path= for JOREK, ...)."""
+    from . import advection, burgers, jorek, mhd, ns, wave
+
+    drivers = {"Advection": advection.run, "Burgers": burgers.run,
+               "Wave": wave.run, "Navier-Stokes": ns.run, "MHD": mhd.run,
+               "JOREK": jorek.run}
+    if case not in drivers:
+        raise ValueError(f"unknown Expts_initial case {case!r}; "
+                         f"one of {sorted(drivers)}")
+    cfg = dict(INITIAL_CONFIGS[case], **(config or {}))
+    return drivers[case]("marginal", config=cfg, **kw)

@@ -65,6 +65,11 @@ def rollout_loss(apply_fn, params, xx, yy, step: int, T_out: int, loss_func,
     needs ~25 GB of HBM and OOMs a single v5e chip.
     """
     ys = _chunked_targets(yy, step, T_out)
+    if ys.shape[0] == 1:
+        # single-shot (step == T_out): no AR carry (see
+        # rollout.autoregressive_rollout) — also supports step > T_in
+        im = apply_fn(params, xx)
+        return loss_func(im, ys[0]), im
 
     def body(carry, y):
         xx, acc = carry

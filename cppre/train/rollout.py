@@ -36,6 +36,11 @@ def autoregressive_rollout(apply_fn: Callable, xx, step: int, T_out: int):
     if T_out % step != 0:
         raise ValueError(f"T_out={T_out} not divisible by step={step}")
     n = T_out // step
+    if n == 1:
+        # single-shot configs (step == T_out, e.g. the Expts_initial 1-D
+        # pipelines with step > T_in): the reference's Python loop never
+        # re-feeds, so there is no carry to keep shape-stable
+        return apply_fn(xx)
 
     def body(carry, _):
         im = apply_fn(carry)

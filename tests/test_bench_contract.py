@@ -43,7 +43,7 @@ def test_bench_emits_error_json_when_backend_unavailable():
         "bench.main()"
     )
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=180, cwd="/root/repo", env=env)
+                         text=True, timeout=360, cwd="/root/repo", env=env)
     assert out.returncode == 0, out.stderr[-500:]
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     assert len(lines) == 1, out.stdout

@@ -271,3 +271,33 @@ def test_offline_initial_pipeline(tmp_path):
     # the inverted band must actually bracket: upper >= lower everywhere
     # away from the deconvolution's eps-regularised nullspace artefacts
     assert (up - lo).mean() > 0
+
+
+def test_run_initial_advection_single_shot_with_inversion():
+    """The historical Expts_initial pipeline by family: marginal PRE-only CP
+    at the script's configuration shape (T_in window, single-shot step ==
+    T_out > T_in) incl. the residual-bound inversion
+    (`Expts_initial/Advection_Residuals_CP.py:340-352`)."""
+    from cppre.experiments.initial import INITIAL_CONFIGS, run_initial
+
+    assert set(INITIAL_CONFIGS) == {"Advection", "Burgers", "Wave",
+                                    "Navier-Stokes", "MHD", "JOREK"}
+    out = run_initial("Advection", config={
+        "Epochs": 2, "Nx": 64, "Nt": 80, "n_train": 8, "n_cal": 8,
+        "n_pred": 4, "T_in": 10, "T_out": 16, "Step": 16, "Width": 8,
+        "Modes": 4, "Batch Size": 4}, verbose=False)
+    assert "coverage_pre" in out and "inverted_bounds" in out
+    cov = np.asarray(out["coverage_pre"])
+    assert cov.shape[0] == len(out["alphas"]) and np.isfinite(cov).all()
+
+
+def test_run_initial_wave_chunked_window():
+    """Wave initial config shape: T_in=20-style window with chunked step
+    (scaled down), through the standard 2-D engine."""
+    from cppre.experiments.initial import run_initial
+
+    out = run_initial("Wave", config={
+        "Epochs": 1, "Nx": 24, "n_train": 6, "n_cal": 8, "n_pred": 4,
+        "T_in": 4, "T_out": 8, "Step": 4, "Width_time": 8, "Modes": 4,
+        "Batch Size": 4}, verbose=False)
+    assert np.isfinite(np.asarray(out["coverage_pre"])).all()

@@ -87,3 +87,29 @@ def test_fit_reduces_loss():
              loss_func=loss, lr=5e-3)
     l1 = float(rollout_loss(m.apply, p1, a, y, 1, 5, loss)[0])
     assert l1 < l0
+
+
+def test_single_shot_rollout_step_equals_tout():
+    """step == T_out (the Expts_initial single-shot configs, where step may
+    exceed T_in): no AR carry — one apply, loss/pred shapes intact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cppre.train.loops import rollout_loss
+    from cppre.train.rollout import autoregressive_rollout, validation_AR
+
+    step = t_out = 6
+    t_in = 4  # step > T_in: the scan carry could never be shape-stable
+    apply_fn = lambda x: jnp.repeat(x.mean(axis=-1, keepdims=True), step, -1)
+    xx = jnp.ones((3, 1, 8, t_in))
+    pred = autoregressive_rollout(apply_fn, xx, step, t_out)
+    assert pred.shape == (3, 1, 8, t_out)
+    yy = jnp.zeros((3, 1, 8, t_out))
+    pred2, mse, mae = validation_AR(apply_fn, xx, yy, step, t_out)
+    np.testing.assert_array_equal(np.asarray(pred2), np.asarray(pred))
+    loss_fn = lambda p, y: jnp.mean((p - y) ** 2)
+    total, pred3 = rollout_loss(lambda p, x: apply_fn(x), None, xx, yy,
+                                step, t_out, loss_fn)
+    np.testing.assert_array_equal(np.asarray(pred3), np.asarray(pred))
+    assert np.isfinite(float(total))
