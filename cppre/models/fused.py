@@ -113,17 +113,62 @@ def _fused_block_primal(z, bp, x3, m1, m2, interpret):
     return fno_block2d_fused(z, bp, x3, m1, m2, interpret=interpret)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_block_trainable(z, bp, x3, m1, m2, interpret):
+def _bwd_grads_to_tree(bp, outs, m1):
+    """Map the fused backward kernel's outputs onto the block-param pytree
+    (inverse of `_repack_spectral`; the bias branch `_Channel1x1_1` gets
+    zeros here — its gradient flows through the x3 cotangent outside)."""
+    dx, dwcr, dwci, da1, db1, da2, db2, daw, dbw, dx3 = outs
+    dwr = jnp.swapaxes(dwcr, 3, 4)                   # [in, out, V, K, m2]
+    dwi = jnp.swapaxes(dwci, 3, 4)
+    g_bp = {
+        "SpectralConv2d_0": {
+            "weights1_re": dwr[:, :, :, :m1], "weights2_re": dwr[:, :, :, m1:],
+            "weights1_im": dwi[:, :, :, :m1], "weights2_im": dwi[:, :, :, m1:],
+        },
+        "_ChannelMLP_0": {
+            "Dense_0": {"kernel": da1, "bias": db1.reshape(-1)},
+            "Dense_1": {"kernel": da2, "bias": db2.reshape(-1)},
+        },
+        "_Channel1x1_0": {"Dense_0": {"kernel": daw, "bias": dbw.reshape(-1)}},
+        "_Channel1x1_1": jax.tree_util.tree_map(
+            jnp.zeros_like, bp["_Channel1x1_1"]),
+    }
+    return dx, g_bp, dx3
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_block_trainable(z, bp, x3, m1, m2, interpret, bwd_impl="pallas"):
     return _fused_block_primal(z, bp, x3, m1, m2, interpret)
 
 
-def _fused_block_fwd(z, bp, x3, m1, m2, interpret):
+def _fused_block_fwd(z, bp, x3, m1, m2, interpret, bwd_impl):
     return _fused_block_primal(z, bp, x3, m1, m2, interpret), (z, bp, x3)
 
 
-def _fused_block_bwd(m1, m2, interpret, res, g):
+def _fused_block_bwd(m1, m2, interpret, bwd_impl, res, g):
     z, bp, x3 = res
+    if bwd_impl == "pallas":
+        from ..ops.pallas.fno_block import (fno_block2d_bwd_fused,
+                                            fused_block_bwd_vmem_est)
+        from ..ops.pallas.stencil_kernels import _VMEM_CAP
+
+        w = z.shape[1]
+        w_mid = bp["_ChannelMLP_0"]["Dense_0"]["kernel"].shape[1]
+        if fused_block_bwd_vmem_est(w, w_mid, z.shape[3], z.shape[4],
+                                    m1, m2) <= _VMEM_CAP:
+            nx = z.shape[3]
+            pad = (-nx) % 8
+            if pad:
+                widths = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
+                outs = fno_block2d_bwd_fused(
+                    jnp.pad(z, widths), jnp.pad(g, widths), bp,
+                    jnp.pad(x3, widths), m1, m2, nx_true=nx,
+                    interpret=interpret)
+                dx, g_bp, dx3 = _bwd_grads_to_tree(bp, outs, m1)
+                return dx[:, :, :, :nx, :], g_bp, dx3[:, :, :, :nx, :]
+            outs = fno_block2d_bwd_fused(z, g, bp, x3, m1, m2,
+                                         interpret=interpret)
+            return _bwd_grads_to_tree(bp, outs, m1)
     _, vjp = jax.vjp(lambda a, b, c: _block_xla(a, b, c, m1, m2), z, bp, x3)
     return vjp(g)
 
@@ -131,14 +176,22 @@ def _fused_block_bwd(m1, m2, interpret, res, g):
 _fused_block_trainable.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
-def make_fused_train_apply(model: FNO2d, interpret=None):
+def make_fused_train_apply(model: FNO2d, interpret=None,
+                           bwd_impl: str = "pallas"):
     """Differentiable `apply_fn(variables, x)` whose six Fourier-block
-    forwards run the fused Pallas kernel and whose backward is the exact
-    flax block math (custom_vjp) — a drop-in for `model.apply` in
+    forwards run the fused Pallas kernel — a drop-in for `model.apply` in
     `train.loops.fit`/`make_train_step` (the remat recompute legs ride the
-    fused kernel too). Dropout-free configs only; unsupported shapes fall
-    back to `model.apply` per call (gradients then come from flax
-    directly)."""
+    fused kernel too). The backward rule has the exact flax block's
+    gradient semantics, computed by `bwd_impl`:
+
+      'pallas' (default): the fused backward kernel — recompute + ALL
+        gradients in one VMEM pass per (sample, variable), weight grads
+        accumulated in resident blocks (falls back to XLA when its VMEM
+        bound is exceeded);
+      'xla': jax.vjp of the flax block math.
+
+    Dropout-free configs only; unsupported shapes fall back to
+    `model.apply` per call (gradients then come from flax directly)."""
 
     def apply_fn(variables, x):
         if model.dropout_rate != 0.0 or not fused_supported(model, x.shape):
@@ -154,7 +207,7 @@ def make_fused_train_apply(model: FNO2d, interpret=None):
             bp = p[name]
             x3 = _bias_branch(bp, grid_c)
             return _fused_block_trainable(z, bp, x3, model.modes1,
-                                          model.modes2, interpret)
+                                          model.modes2, interpret, bwd_impl)
 
         x0 = blk("f0", h)
         z = blk("f1", x0)

@@ -39,7 +39,8 @@ import numpy as np
 
 from .stencil_kernels import _on_tpu, _vmem_pad
 
-__all__ = ["fno_block2d_fused", "fused_block_vmem_est"]
+__all__ = ["fno_block2d_fused", "fno_block2d_bwd_fused",
+           "fused_block_vmem_est", "fused_block_bwd_vmem_est"]
 
 
 def _dft_tables(nx: int, ny: int, m1: int, m2: int, nx_pad: int | None = None):
@@ -222,3 +223,259 @@ def fno_block2d_fused(x, block_params, x3, m1: int, m2: int,
         interpret=interpret,
     )(x.astype(jnp.float32), wcr, wci, a1, b1, a2, b2, aw, bw,
       cy, sy, cxk, sxk, cxT, sxT, iyc, iys, x3.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# fused backward: one VMEM pass per (sample, variable) for ALL gradients
+#
+# The XLA backward of a Fourier block streams the full-resolution activation
+# through HBM ~8-12 times (forward recompute + transposed matmuls +
+# elementwise chains). This kernel reads (x, g) once, recomputes the forward
+# in VMEM, and emits dx plus every weight gradient in the same pass; weight
+# gradients accumulate across the batch grid dimension in resident VMEM
+# blocks (their BlockSpec index is constant over the inner grid axis).
+# ---------------------------------------------------------------------------
+
+_SQRT2 = float(np.sqrt(2.0))
+_INV_SQRT_2PI = float(1.0 / np.sqrt(2.0 * np.pi))
+
+
+def _dgelu(u):
+    """Exact gelu'(u) = Phi(u) + u * phi(u) (approximate=False gelu)."""
+    cdf = 0.5 * (1.0 + jax.lax.erf(u / _SQRT2))
+    return cdf + u * jnp.exp(-0.5 * u * u) * _INV_SQRT_2PI
+
+
+def fused_block_bwd_vmem_est(w_ch: int, w_mid: int, nx: int, ny: int,
+                             m1: int, m2: int) -> int:
+    """VMEM bound for one backward grid step (~14 full-res planes of
+    max(W, Wm) channels + spectral temporaries + 4 weight blocks)."""
+    nx_pad = _vmem_pad(nx, 8)
+    k_fr = 2 * m1
+    planes = 14 * max(w_ch, w_mid) * nx_pad * _vmem_pad(ny, 128)
+    spectral = 8 * w_ch * _vmem_pad(m2, 8) * _vmem_pad(k_fr, 128)
+    weights = 4 * w_ch * w_ch * _vmem_pad(m2, 8) * _vmem_pad(k_fr, 128)
+    return (planes + spectral + weights) * 4
+
+
+def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
+                          nx_true: int | None = None,
+                          interpret: bool | None = None):
+    """Backward of `fno_block2d_fused`: x the block input, g the output
+    cotangent (both [B, W, V, Nx, Ny], sublane-padded along x; g MUST be
+    zero in pad lanes). Returns
+
+        (dx, dwcr, dwci, da1, db1, da2, db2, daw, dbw, dx3)
+
+    with dwcr/dwci in the kernel's repacked [in, out, V, m2, K] layout
+    (`_repack_spectral`; the caller maps back to the flax lo/hi split),
+    bias grads as [1, n] rows, and dx3 batch-summed [1, W, V, Nx, Ny].
+    Gradient semantics are exactly the flax block's (parity vs jax.vjp of
+    the XLA block asserted in tests/test_pallas_kernels.py)."""
+    b, w_ch, nv, nx, ny = x.shape
+    nx_true = nx if nx_true is None else nx_true
+    k_fr = 2 * m1
+    assert 2 * m1 <= nx_true and m2 <= ny // 2 + 1 and nx % 8 == 0
+
+    wcr, wci = _repack_spectral(block_params, m1, m2)
+    mlp = block_params["_ChannelMLP_0"]
+    a1, b1 = mlp["Dense_0"]["kernel"], mlp["Dense_0"]["bias"]
+    a2, b2 = mlp["Dense_1"]["kernel"], mlp["Dense_1"]["bias"]
+    byp = block_params["_Channel1x1_0"]["Dense_0"]
+    aw, bw = byp["kernel"], byp["bias"]
+    w_mid = a1.shape[1]
+    cy, sy, cxk, sxk, cxT, sxT, iyc, iys = _dft_tables(nx_true, ny, m1, m2,
+                                                       nx_pad=nx)
+    # adjoint tables (plain transposes; iyc/iys already fold the Hermitian
+    # weights, so their adjoints are the transposed WEIGHTED tables)
+    cyT, syT = cy.T, sy.T                                      # [m2, Ny]
+    iycT, iysT = iyc.T, iys.T                                  # [Ny, m2]
+    inv_scale = 1.0 / (nx_true * ny)
+
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, g_ref, wcr_ref, wci_ref, a1_ref, b1_ref, a2_ref,
+               b2_ref, aw_ref, bw_ref, x3_ref,
+               cy_ref, sy_ref, cxk_ref, sxk_ref, cxT_ref, sxT_ref,
+               iyc_ref, iys_ref, cyT_ref, syT_ref, iycT_ref, iysT_ref,
+               dx_ref, dwcr_ref, dwci_ref, da1_ref, db1_ref, da2_ref,
+               db2_ref, daw_ref, dbw_ref, dx3_ref):
+        bb = pl.program_id(1)
+        first_any = (pl.program_id(0) == 0) & (bb == 0)
+        xv = x_ref[0, :, 0]                                    # [W, Nx, Ny]
+        gv = g_ref[0, :, 0]
+
+        # ==== forward recompute (identical math to fno_block2d_fused) ====
+        x2d = xv.reshape(w_ch * nx, ny)
+        yr = jnp.dot(x2d, cy_ref[...]).reshape(w_ch, nx, m2)
+        yi = jnp.dot(x2d, sy_ref[...]).reshape(w_ch, nx, m2)
+        yrT = jnp.swapaxes(yr, 1, 2).reshape(w_ch * m2, nx)
+        yiT = jnp.swapaxes(yi, 1, 2).reshape(w_ch * m2, nx)
+        zr = (jnp.dot(yrT, cxk_ref[...])
+              - jnp.dot(yiT, sxk_ref[...])).reshape(w_ch, m2, k_fr)
+        zi = (jnp.dot(yrT, sxk_ref[...])
+              + jnp.dot(yiT, cxk_ref[...])).reshape(w_ch, m2, k_fr)
+
+        wcr_v = wcr_ref[:, :, 0]                               # [W, W, m2, K]
+        wci_v = wci_ref[:, :, 0]
+        mr = jnp.zeros((w_ch, m2, k_fr), jnp.float32)
+        mi = jnp.zeros((w_ch, m2, k_fr), jnp.float32)
+        for i in range(w_ch):
+            mr = mr + zr[i][None] * wcr_v[i] - zi[i][None] * wci_v[i]
+            mi = mi + zr[i][None] * wci_v[i] + zi[i][None] * wcr_v[i]
+
+        mr2 = mr.reshape(w_ch * m2, k_fr)
+        mi2 = mi.reshape(w_ch * m2, k_fr)
+        vr = (jnp.dot(mr2, cxT_ref[...])
+              + jnp.dot(mi2, sxT_ref[...])).reshape(w_ch, m2, nx)
+        vi = (jnp.dot(mi2, cxT_ref[...])
+              - jnp.dot(mr2, sxT_ref[...])).reshape(w_ch, m2, nx)
+        vrT = jnp.swapaxes(vr, 1, 2).reshape(w_ch * nx, m2)
+        viT = jnp.swapaxes(vi, 1, 2).reshape(w_ch * nx, m2)
+        spec = ((jnp.dot(vrT, iyc_ref[...]) + jnp.dot(viT, iys_ref[...]))
+                .reshape(w_ch, nx, ny) * inv_scale)
+
+        def contract(src, mat, bias, n_in, n_out):
+            # acc[o] = bias[o] + sum_i src[i] * mat[i, o]
+            if bias is None:
+                acc = jnp.zeros((n_out, nx, ny), jnp.float32)
+            else:
+                acc = jnp.broadcast_to(
+                    bias.reshape(n_out, 1, 1), (n_out, nx, ny)
+                ).astype(jnp.float32)
+            for i in range(n_in):
+                acc = acc + src[i][None] * mat[i].reshape(n_out, 1, 1)
+            return acc
+
+        a1_v, a2_v, aw_v = a1_ref[...], a2_ref[...], aw_ref[...]
+        pre1 = contract(spec, a1_v, b1_ref[...], w_ch, w_mid)
+        h = jax.nn.gelu(pre1, approximate=False)
+        x1 = contract(h, a2_v, b2_ref[...], w_mid, w_ch)
+        x2 = contract(xv, aw_v, bw_ref[...], w_ch, w_ch)
+        s = x1 + x2 + x3_ref[0, :, 0]
+
+        # ==== backward ====
+        gs = gv * _dgelu(s)                                    # [W, Nx, Ny]
+
+        @pl.when(bb == 0)
+        def _init_per_v():
+            dx3_ref[0, :, 0] = jnp.zeros_like(gs)
+            dwcr_ref[...] = jnp.zeros_like(dwcr_ref)
+            dwci_ref[...] = jnp.zeros_like(dwci_ref)
+
+        @pl.when(first_any)
+        def _init_shared():
+            da1_ref[...] = jnp.zeros_like(da1_ref)
+            db1_ref[...] = jnp.zeros_like(db1_ref)
+            da2_ref[...] = jnp.zeros_like(da2_ref)
+            db2_ref[...] = jnp.zeros_like(db2_ref)
+            daw_ref[...] = jnp.zeros_like(daw_ref)
+            dbw_ref[...] = jnp.zeros_like(dbw_ref)
+
+        dx3_ref[0, :, 0] += gs
+        dbw_ref[...] += jnp.sum(gs, axis=(1, 2)).reshape(1, w_ch)
+        db2_ref[...] += jnp.sum(gs, axis=(1, 2)).reshape(1, w_ch)
+        for i in range(w_ch):
+            daw_ref[i, :] += jnp.sum(xv[i][None] * gs, axis=(1, 2))
+        for m in range(w_mid):
+            da2_ref[m, :] += jnp.sum(h[m][None] * gs, axis=(1, 2))
+
+        dh = contract(gs, a2_v.T, None, w_ch, w_mid)
+        dpre1 = dh * _dgelu(pre1)
+        db1_ref[...] += jnp.sum(dpre1, axis=(1, 2)).reshape(1, w_mid)
+        for i in range(w_ch):
+            da1_ref[i, :] += jnp.sum(spec[i][None] * dpre1, axis=(1, 2))
+        dspec = contract(dpre1, a1_v.T, None, w_mid, w_ch)
+
+        # spectral adjoint (transposed tables; zero pad rows/cols make the
+        # padded-lane contributions vanish exactly as in the forward)
+        dspec2d = dspec.reshape(w_ch * nx, ny) * inv_scale
+        dvrT = jnp.dot(dspec2d, iycT_ref[...])                 # [W*Nx, m2]
+        dviT = jnp.dot(dspec2d, iysT_ref[...])
+        dvr = jnp.swapaxes(dvrT.reshape(w_ch, nx, m2), 1, 2) \
+                 .reshape(w_ch * m2, nx)
+        dvi = jnp.swapaxes(dviT.reshape(w_ch, nx, m2), 1, 2) \
+                 .reshape(w_ch * m2, nx)
+        dmr = (jnp.dot(dvr, cxk_ref[...])
+               - jnp.dot(dvi, sxk_ref[...])).reshape(w_ch, m2, k_fr)
+        dmi = (jnp.dot(dvi, cxk_ref[...])
+               + jnp.dot(dvr, sxk_ref[...])).reshape(w_ch, m2, k_fr)
+
+        dzr = jnp.zeros((w_ch, m2, k_fr), jnp.float32)
+        dzi = jnp.zeros((w_ch, m2, k_fr), jnp.float32)
+        for o in range(w_ch):
+            dzr = dzr + dmr[o][None] * wcr_v[:, o] + dmi[o][None] * wci_v[:, o]
+            dzi = dzi - dmr[o][None] * wci_v[:, o] + dmi[o][None] * wcr_v[:, o]
+        for i in range(w_ch):
+            dwcr_ref[i, :, 0] += zr[i][None] * dmr + zi[i][None] * dmi
+            dwci_ref[i, :, 0] += zr[i][None] * dmi - zi[i][None] * dmr
+
+        dzr2 = dzr.reshape(w_ch * m2, k_fr)
+        dzi2 = dzi.reshape(w_ch * m2, k_fr)
+        dyrT = jnp.dot(dzr2, cxT_ref[...]) + jnp.dot(dzi2, sxT_ref[...])
+        dyiT = -jnp.dot(dzr2, sxT_ref[...]) + jnp.dot(dzi2, cxT_ref[...])
+        dyr = jnp.swapaxes(dyrT.reshape(w_ch, m2, nx), 1, 2) \
+                 .reshape(w_ch * nx, m2)
+        dyi = jnp.swapaxes(dyiT.reshape(w_ch, m2, nx), 1, 2) \
+                 .reshape(w_ch * nx, m2)
+        dx_spec = (jnp.dot(dyr, cyT_ref[...])
+                   + jnp.dot(dyi, syT_ref[...])).reshape(w_ch, nx, ny)
+
+        dx_byp = contract(gs, aw_v.T, None, w_ch, w_ch)
+        dx_ref[0, :, 0] = dx_spec + dx_byp
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda v, bb: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, w_ch, 1, nx, ny), lambda v, bb: (bb, 0, v, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((w_ch, w_ch, 1, m2, k_fr),
+                          lambda v, bb: (0, 0, v, 0, 0),
+                          memory_space=pltpu.VMEM)
+    x3_spec = pl.BlockSpec((1, w_ch, 1, nx, ny), lambda v, bb: (0, 0, v, 0, 0),
+                           memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out_shape = (
+        jax.ShapeDtypeStruct(x.shape, f32),                        # dx
+        jax.ShapeDtypeStruct((w_ch, w_ch, nv, m2, k_fr), f32),     # dwcr
+        jax.ShapeDtypeStruct((w_ch, w_ch, nv, m2, k_fr), f32),     # dwci
+        jax.ShapeDtypeStruct((w_ch, w_mid), f32),                  # da1
+        jax.ShapeDtypeStruct((1, w_mid), f32),                     # db1
+        jax.ShapeDtypeStruct((w_mid, w_ch), f32),                  # da2
+        jax.ShapeDtypeStruct((1, w_ch), f32),                      # db2
+        jax.ShapeDtypeStruct((w_ch, w_ch), f32),                   # daw
+        jax.ShapeDtypeStruct((1, w_ch), f32),                      # dbw
+        jax.ShapeDtypeStruct((1, w_ch, nv, nx, ny), f32),          # dx3
+    )
+    out_specs = [
+        x_spec, w_spec, w_spec,
+        full(w_ch, w_mid), full(1, w_mid), full(w_mid, w_ch),
+        full(1, w_ch), full(w_ch, w_ch), full(1, w_ch),
+        x3_spec,
+    ]
+
+    est = fused_block_bwd_vmem_est(w_ch, w_mid, nx, ny, m1, m2)
+    from .stencil_kernels import _vmem_params
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(nv, b),  # b innermost: weight/grad blocks stay resident
+        in_specs=[
+            x_spec, x_spec, w_spec, w_spec,
+            full(w_ch, w_mid), full(w_mid), full(w_mid, w_ch), full(w_ch),
+            full(w_ch, w_ch), full(w_ch), x3_spec,
+            full(ny, m2), full(ny, m2), full(nx, k_fr), full(nx, k_fr),
+            full(k_fr, nx), full(k_fr, nx), full(m2, ny), full(m2, ny),
+            full(m2, ny), full(m2, ny), full(ny, m2), full(ny, m2),
+        ],
+        out_specs=out_specs,
+        compiler_params=_vmem_params(est),
+        interpret=interpret,
+    )(x.astype(f32), g.astype(f32), wcr, wci, a1, b1, a2, b2, aw, bw,
+      x3.astype(f32), cy, sy, cxk, sxk, cxT, sxT, iyc, iys,
+      jnp.asarray(cyT), jnp.asarray(syT), jnp.asarray(iycT),
+      jnp.asarray(iysT))

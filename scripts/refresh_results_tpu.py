@@ -32,6 +32,8 @@ STAGES = [
     ("train_roofline_xla", ["python", "scripts/train_roofline.py"], 1800),
     ("train_roofline_fused",
      ["python", "scripts/train_roofline.py", "fused"], 1800),
+    ("train_roofline_fused_xlabwd",
+     ["python", "scripts/train_roofline.py", "fused", "xlabwd"], 1800),
     ("train_roofline_fused_noremat",
      ["python", "scripts/train_roofline.py", "fused", "noremat"], 1800),
     ("ns_flagship", ["python", "scripts/ns_flagship_tpu.py"], 5400),

@@ -26,13 +26,14 @@ BATCH, NVAR, NX, NY, T_IN, T_OUT, STEP = 50, 1, 64, 64, 1, 20, 1
 PEAK_BF16 = 197e12
 
 
-def main(fused: bool = False, remat: bool = True):
+def main(fused: bool = False, remat: bool = True,
+         bwd_impl: str = "pallas"):
     from cppre.models import FNO2d, make_fused_train_apply
     from cppre.train.loops import make_optimizer, make_train_step
     from cppre.train.losses import lp_loss
 
-    print(f"backend: {jax.default_backend()}  fused={fused}  remat={remat}",
-          flush=True)
+    print(f"backend: {jax.default_backend()}  fused={fused}  remat={remat}"
+          f"  bwd={bwd_impl if fused else 'n/a'}", flush=True)
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((BATCH, NVAR, NX, NY, T_IN)), jnp.float32)
     u = jnp.asarray(rng.standard_normal((BATCH, NVAR, NX, NY, T_OUT)), jnp.float32)
@@ -42,7 +43,8 @@ def main(fused: bool = False, remat: bool = True):
     params = model.init(jax.random.PRNGKey(0), a)
     tx = make_optimizer(5e-3)
     opt_state = tx.init(params)
-    apply_fn = make_fused_train_apply(model) if fused else model.apply
+    apply_fn = (make_fused_train_apply(model, bwd_impl=bwd_impl)
+                if fused else model.apply)
     train_step = make_train_step(apply_fn, tx, STEP, T_OUT, lp_loss,
                                  remat=remat)
 
@@ -89,4 +91,6 @@ if __name__ == "__main__":
     #   python scripts/train_roofline.py          -> XLA baseline
     #   python scripts/train_roofline.py fused    -> fused forward legs
     #   python scripts/train_roofline.py fused noremat -> + no rollout remat
-    main(fused="fused" in sys.argv[1:], remat="noremat" not in sys.argv[1:])
+    #   python scripts/train_roofline.py fused xlabwd -> fused fwd, XLA bwd
+    main(fused="fused" in sys.argv[1:], remat="noremat" not in sys.argv[1:],
+         bwd_impl="xla" if "xlabwd" in sys.argv[1:] else "pallas")

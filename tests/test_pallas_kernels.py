@@ -589,3 +589,53 @@ def test_fused_train_apply_grad_parity(nx, ny):
     scale = np.abs(np.asarray(flat_r)).max()
     np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_r),
                                atol=5e-4 * max(scale, 1.0))
+
+
+def test_fused_block_bwd_kernel_matches_xla_vjp():
+    """fno_block2d_bwd_fused: every output (dx, spectral/mlp/bypass weight
+    grads incl. cross-batch+variable accumulation, dx3) must match jax.vjp
+    of the flax block math. B=3, V=2 pins the grid-accumulation paths."""
+    from cppre.models.fused import _bias_branch, _block_xla
+    from cppre.ops.pallas.fno_block import fno_block2d_bwd_fused
+
+    from cppre.models import FNO2d
+
+    m1 = m2 = 4
+    w, nv, nx, ny = 8, 2, 16, 16
+    model = FNO2d(T_in=1, step=1, modes1=m1, modes2=m2, num_vars=nv,
+                  width_time=w)
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((3, nv, nx, ny, 1)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(3), x)
+    bp = v["params"]["f0"]
+    grid_c = jnp.transpose(model.get_grid(x.shape)[:1], (0, 4, 1, 2, 3))
+    x3 = _bias_branch(bp, grid_c)
+    z = jnp.asarray(rng.standard_normal((3, w, nv, nx, ny)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((3, w, nv, nx, ny)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda a, b, c: _block_xla(a, b, c, m1, m2), z, bp, x3)
+    dz_ref, dbp_ref, dx3_ref = vjp(g)
+
+    outs = fno_block2d_bwd_fused(z, g, bp, x3, m1, m2, interpret=True)
+    from cppre.models.fused import _bwd_grads_to_tree
+
+    dz, dbp, dx3 = _bwd_grads_to_tree(bp, outs, m1)
+
+    def close(a, b, what):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=2e-4 * scale, err_msg=what)
+
+    close(dz, dz_ref, "dz")
+    close(dx3, dx3_ref, "dx3")
+    for path in [("SpectralConv2d_0", "weights1_re"),
+                 ("SpectralConv2d_0", "weights1_im"),
+                 ("SpectralConv2d_0", "weights2_re"),
+                 ("SpectralConv2d_0", "weights2_im")]:
+        close(dbp[path[0]][path[1]], dbp_ref[path[0]][path[1]], str(path))
+    for mod, layer in [("_ChannelMLP_0", "Dense_0"), ("_ChannelMLP_0", "Dense_1"),
+                       ("_Channel1x1_0", "Dense_0")]:
+        close(dbp[mod][layer]["kernel"], dbp_ref[mod][layer]["kernel"],
+              f"{mod}.{layer}.kernel")
+        close(dbp[mod][layer]["bias"], dbp_ref[mod][layer]["bias"],
+              f"{mod}.{layer}.bias")
