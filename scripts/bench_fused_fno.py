@@ -23,8 +23,21 @@ from cppre.utils.tpu_bench import slope_time
 
 B, V, N, W, M, T_OUT = 50, 1, 64, 32, 16, 20
 
+# the NS flagship config (Joint/NS_Residuals_CP.py:13-36): 3 vars, 100x100
+# (non-8-aligned -> exercises the sublane-padding path on chip), width 16
+SHAPES = [
+    ("wave64", dict(B=50, V=1, N=64, W=32, M=16)),
+    ("ns100", dict(B=50, V=3, N=100, W=16, M=8)),
+]
+
 
 def main():
+    for tag, sh in SHAPES:
+        print(f"=== {tag}: {sh}", flush=True)
+        run_shape(**sh)
+
+
+def run_shape(B, V, N, W, M):
     print("backend:", jax.default_backend(), flush=True)
     m = FNO2d(T_in=1, step=1, modes1=M, modes2=M, num_vars=V, width_time=W)
     rng = np.random.default_rng(0)
