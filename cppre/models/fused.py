@@ -176,6 +176,80 @@ def _fused_block_bwd(m1, m2, interpret, bwd_impl, res, g):
 _fused_block_trainable.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
+# ---------------------------------------------------------------------------
+# fused projection head (fc1 -> gelu -> fc2): the 256-wide projection
+# activation is the model's largest tensor; the kernel keeps it in VMEM
+# (ops/pallas/fno_block.py::projection2d_fused). custom_vjp so training
+# backward also avoids materialising it (Pallas bwd, XLA-vjp fallback).
+# ---------------------------------------------------------------------------
+
+
+def _projection_xla(z, fc1, fc2):
+    h = _dense(fc1, z)
+    h = jax.nn.gelu(h, approximate=False)
+    return _dense(fc2, h)
+
+
+def _projection_supported(z_shape, fc1, fc2) -> bool:
+    from ..ops.pallas.fno_block import projection_vmem_est
+    from ..ops.pallas.stencil_kernels import _VMEM_CAP
+
+    _, _, nx, ny, w = z_shape
+    w_proj, step = fc2["kernel"].shape
+    ny_pad = ny + ((-ny) % 8)
+    return projection_vmem_est(w, w_proj, step, nx, ny_pad) * 2 <= _VMEM_CAP
+
+
+def _fused_projection_primal(z, fc1, fc2, interpret):
+    from ..ops.pallas.fno_block import projection2d_fused
+
+    ny = z.shape[3]
+    pad = (-ny) % 8
+    if pad:
+        z = jnp.pad(z, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    out = projection2d_fused(z, fc1, fc2, interpret=interpret)
+    if pad:
+        out = out[..., :ny]
+    return jnp.moveaxis(out, 2, -1)          # [B, V, Nx, Ny, step]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_projection(z, fc1, fc2, interpret, bwd_impl="pallas"):
+    return _fused_projection_primal(z, fc1, fc2, interpret)
+
+
+def _fused_projection_fwd(z, fc1, fc2, interpret, bwd_impl):
+    return _fused_projection_primal(z, fc1, fc2, interpret), (z, fc1, fc2)
+
+
+def _fused_projection_bwd(interpret, bwd_impl, res, g):
+    z, fc1, fc2 = res
+    if bwd_impl == "pallas":
+        from ..ops.pallas.fno_block import projection2d_bwd_fused
+
+        ny = z.shape[3]
+        pad = (-ny) % 8
+        gk = jnp.moveaxis(g, -1, 2)          # [B, V, step, Nx, Ny]
+        if pad:
+            widths4 = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
+            zk = jnp.pad(z, widths4)
+            gk = jnp.pad(gk, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad)))
+        else:
+            zk = z
+        dz, da1, db1, da2, db2 = projection2d_bwd_fused(
+            zk, gk, fc1, fc2, interpret=interpret)
+        if pad:
+            dz = dz[:, :, :, : ny]
+        return (dz,
+                {"kernel": da1, "bias": db1.reshape(-1)},
+                {"kernel": da2, "bias": db2.reshape(-1)})
+    _, vjp = jax.vjp(lambda a, b, c: _projection_xla(a, b, c), z, fc1, fc2)
+    return vjp(g)
+
+
+_fused_projection.defvjp(_fused_projection_fwd, _fused_projection_bwd)
+
+
 def make_fused_train_apply(model: FNO2d, interpret=None,
                            bwd_impl: str = "pallas"):
     """Differentiable `apply_fn(variables, x)` whose six Fourier-block
@@ -217,6 +291,9 @@ def make_fused_train_apply(model: FNO2d, interpret=None,
         z = blk("f5", z) + x1
 
         z = jnp.transpose(z, (0, 2, 3, 4, 1))        # [B, V, Nx, Ny, W]
+        if _projection_supported(z.shape, p["fc1_time"], p["fc2_time"]):
+            return _fused_projection(z, p["fc1_time"], p["fc2_time"],
+                                     interpret, bwd_impl)
         z = _dense(p["fc1_time"], z)
         z = jax.nn.gelu(z, approximate=False)
         return _dense(p["fc2_time"], z)
@@ -272,6 +349,9 @@ def fno2d_forward_fused(model: FNO2d, variables, x, interpret=None):
     if pad:
         z = z[:, :, :, :nx, :]
     z = jnp.transpose(z, (0, 2, 3, 4, 1))            # [B, V, Nx, Ny, W]
+    if _projection_supported(z.shape, p["fc1_time"], p["fc2_time"]):
+        return _fused_projection_primal(z, p["fc1_time"], p["fc2_time"],
+                                        interpret)
     z = _dense(p["fc1_time"], z)
     z = jax.nn.gelu(z, approximate=False)
     return _dense(p["fc2_time"], z)

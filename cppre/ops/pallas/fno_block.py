@@ -479,3 +479,154 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
       x3.astype(f32), cy, sy, cxk, sxk, cxT, sxT, iyc, iys,
       jnp.asarray(cyT), jnp.asarray(syT), jnp.asarray(iycT),
       jnp.asarray(iysT))
+
+
+# ---------------------------------------------------------------------------
+# fused projection head: fc1 (width -> 256) + gelu + fc2 (256 -> step)
+#
+# The projection is the widest activation in the model: XLA materialises
+# the 256-channel tensor in HBM between the two matmuls (~8x the width-32
+# block activations; gelu adds another round trip). This kernel keeps it in
+# VMEM: read z once, write the step-channel output once.
+# ---------------------------------------------------------------------------
+
+
+def projection_vmem_est(w_ch: int, w_proj: int, step: int,
+                        nx: int, ny: int) -> int:
+    """VMEM bound for one projection grid step: the z block + the
+    [S, w_proj] pre/h planes (+ small weights)."""
+    s_rows = nx * ny
+    return (nx * _vmem_pad(ny, 8) * _vmem_pad(w_ch, 128)
+            + 3 * _vmem_pad(s_rows, 8) * _vmem_pad(w_proj, 128)
+            + step * nx * _vmem_pad(ny, 128)) * 4
+
+
+def projection2d_fused(z, fc1, fc2, interpret: bool | None = None):
+    """Fused fc1 -> gelu -> fc2 projection (`Base_FNO.py:174-179`).
+
+    z [B, V, Nx, Ny, W] (the post-block transpose layout), fc1/fc2 the
+    flax Dense param dicts {kernel, bias} with kernels [W, Wp] and
+    [Wp, step]. Returns [B, V, step, Nx, Ny] (channel-leading so the
+    output block tiles on (Nx, Ny); the caller moves step last).
+    Requires Ny % 8 == 0 (the in-kernel [Nx, Ny, W] -> [Nx*Ny, W] view);
+    the caller pads/crops non-aligned Ny (pad lanes produce bias+gelu
+    garbage that never mixes across space — the projection is pointwise)."""
+    b, nv, nx, ny, w_ch = z.shape
+    a1, b1 = fc1["kernel"], fc1["bias"]            # [W, Wp], [Wp]
+    a2, b2 = fc2["kernel"], fc2["bias"]            # [Wp, step], [step]
+    w_proj, step = a2.shape
+    assert ny % 8 == 0
+
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(z_ref, a1_ref, b1_ref, a2_ref, b2_ref, out_ref):
+        zv = z_ref[0, 0]                            # [Nx, Ny, W]
+        z2d = zv.reshape(nx * ny, w_ch)
+        pre = jnp.dot(z2d, a1_ref[...]) + b1_ref[...][None, :]
+        h = jax.nn.gelu(pre, approximate=False)
+        out2d = jnp.dot(h, a2_ref[...]) + b2_ref[...][None, :]  # [S, step]
+        out_ref[0, 0] = jnp.swapaxes(out2d, 0, 1).reshape(step, nx, ny)
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda bb, v: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((1, 1, nx, ny, w_ch),
+                          lambda bb, v: (bb, v, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, 1, step, nx, ny),
+                          lambda bb, v: (bb, v, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    from .stencil_kernels import _vmem_params
+
+    est = projection_vmem_est(w_ch, w_proj, step, nx, ny)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nv, step, nx, ny), jnp.float32),
+        grid=(b, nv),
+        in_specs=[z_spec, full(w_ch, w_proj), full(w_proj),
+                  full(w_proj, step), full(step)],
+        out_specs=o_spec,
+        compiler_params=_vmem_params(est),
+        interpret=interpret,
+    )(z.astype(jnp.float32), a1, b1, a2, b2)
+
+
+def projection2d_bwd_fused(z, g, fc1, fc2, interpret: bool | None = None):
+    """Backward of `projection2d_fused`: z the input, g the cotangent in
+    the kernel's [B, V, step, Nx, Ny] output layout (zero in any pad
+    lanes). Returns (dz [B, V, Nx, Ny, W], da1, db1, da2, db2); weight
+    grads accumulate across the whole grid in resident VMEM blocks."""
+    b, nv, nx, ny, w_ch = z.shape
+    a1, b1 = fc1["kernel"], fc1["bias"]
+    a2, b2 = fc2["kernel"], fc2["bias"]
+    w_proj, step = a2.shape
+
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(z_ref, g_ref, a1_ref, b1_ref, a2_ref, b2_ref,
+               dz_ref, da1_ref, db1_ref, da2_ref, db2_ref):
+        first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+        zv = z_ref[0, 0]
+        z2d = zv.reshape(nx * ny, w_ch)
+        pre = jnp.dot(z2d, a1_ref[...]) + b1_ref[...][None, :]
+        h = jax.nn.gelu(pre, approximate=False)
+
+        gv = g_ref[0, 0]                            # [step, Nx, Ny]
+        g2d = jnp.swapaxes(gv.reshape(step, nx * ny), 0, 1)  # [S, step]
+
+        @pl.when(first)
+        def _init():
+            da1_ref[...] = jnp.zeros_like(da1_ref)
+            db1_ref[...] = jnp.zeros_like(db1_ref)
+            da2_ref[...] = jnp.zeros_like(da2_ref)
+            db2_ref[...] = jnp.zeros_like(db2_ref)
+
+        # fc2 grads: contract over the S rows (transposed-lhs matmul)
+        da2_ref[...] += jax.lax.dot_general(
+            h, g2d, (((0,), (0,)), ((), ())))
+        db2_ref[...] += jnp.sum(g2d, axis=0).reshape(1, step)
+        dh = jnp.dot(g2d, jnp.swapaxes(a2_ref[...], 0, 1))   # [S, Wp]
+        dpre = dh * _dgelu(pre)
+        da1_ref[...] += jax.lax.dot_general(
+            z2d, dpre, (((0,), (0,)), ((), ())))
+        db1_ref[...] += jnp.sum(dpre, axis=0).reshape(1, w_proj)
+        dz2d = jnp.dot(dpre, jnp.swapaxes(a1_ref[...], 0, 1))  # [S, W]
+        dz_ref[0, 0] = dz2d.reshape(nx, ny, w_ch)
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda bb, v: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((1, 1, nx, ny, w_ch),
+                          lambda bb, v: (bb, v, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, 1, step, nx, ny),
+                          lambda bb, v: (bb, v, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out_shape = (
+        jax.ShapeDtypeStruct(z.shape, f32),
+        jax.ShapeDtypeStruct((w_ch, w_proj), f32),
+        jax.ShapeDtypeStruct((1, w_proj), f32),
+        jax.ShapeDtypeStruct((w_proj, step), f32),
+        jax.ShapeDtypeStruct((1, step), f32),
+    )
+    from .stencil_kernels import _vmem_params
+
+    est = projection_vmem_est(w_ch, w_proj, step, nx, ny) * 2
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(b, nv),
+        in_specs=[z_spec, g_spec, full(w_ch, w_proj), full(w_proj),
+                  full(w_proj, step), full(step)],
+        out_specs=[z_spec, full(w_ch, w_proj), full(1, w_proj),
+                   full(w_proj, step), full(1, step)],
+        compiler_params=_vmem_params(est),
+        interpret=interpret,
+    )(z.astype(f32), g.astype(f32), a1, b1, a2, b2)

@@ -639,3 +639,37 @@ def test_fused_block_bwd_kernel_matches_xla_vjp():
               f"{mod}.{layer}.kernel")
         close(dbp[mod][layer]["bias"], dbp_ref[mod][layer]["bias"],
               f"{mod}.{layer}.bias")
+
+
+@pytest.mark.parametrize("ny,step", [(16, 1), (12, 2)])
+def test_fused_projection_fwd_and_bwd_parity(ny, step):
+    """projection2d_fused (+ its backward kernel): value and all gradients
+    vs the XLA fc1->gelu->fc2 head, incl. non-8-aligned Ny via padding."""
+    from cppre.models.fused import (_fused_projection, _projection_xla)
+
+    rng = np.random.default_rng(31)
+    w, wp, nx = 8, 24, 10
+    z = jnp.asarray(rng.standard_normal((3, 2, nx, ny, w)), jnp.float32)
+    fc1 = {"kernel": jnp.asarray(rng.standard_normal((w, wp)), jnp.float32),
+           "bias": jnp.asarray(rng.standard_normal(wp), jnp.float32)}
+    fc2 = {"kernel": jnp.asarray(rng.standard_normal((wp, step)), jnp.float32),
+           "bias": jnp.asarray(rng.standard_normal(step), jnp.float32)}
+
+    ref = np.asarray(_projection_xla(z, fc1, fc2))
+    out = np.asarray(_fused_projection(z, fc1, fc2, True, "pallas"))
+    np.testing.assert_allclose(out, ref, atol=3e-5 * max(np.abs(ref).max(), 1))
+
+    def loss_pallas(z_, fc1_, fc2_):
+        return jnp.sum(jnp.sin(_fused_projection(z_, fc1_, fc2_, True,
+                                                 "pallas")))
+
+    def loss_ref(z_, fc1_, fc2_):
+        return jnp.sum(jnp.sin(_projection_xla(z_, fc1_, fc2_)))
+
+    g = jax.grad(loss_pallas, argnums=(0, 1, 2))(z, fc1, fc2)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(z, fc1, fc2)
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(g_ref)):
+        scale = max(np.abs(np.asarray(b)).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4 * scale)
