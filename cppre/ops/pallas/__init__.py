@@ -8,6 +8,12 @@ stencil taps as register shifts, emit the interior-cropped result (and
 optionally |.| for nonconformity scores) without intermediate HBM writes.
 """
 
+from .fno_block import (
+    fno_block2d_bwd_fused,
+    fno_block2d_fused,
+    projection2d_bwd_fused,
+    projection2d_fused,
+)
 from .flat_kernels import (
     mhd_joint_cp_scores_flat,
     ns_joint_cp_scores_flat,
@@ -27,6 +33,10 @@ from .stencil_kernels import (
 )
 
 __all__ = [
+    "fno_block2d_fused",
+    "fno_block2d_bwd_fused",
+    "projection2d_fused",
+    "projection2d_bwd_fused",
     "fused_stencil_residual",
     "mhd_joint_cp_scores_flat",
     "ns_joint_cp_scores_flat",
