@@ -180,13 +180,20 @@ def sharded_fused_cp_scores(diff_stats_fn, truth, prediction, mesh: Mesh,
 
     from ..ops.pallas.stencil_kernels import _scores_from_diff_stats
 
+    truth = jnp.asarray(truth)
+    prediction = jnp.asarray(prediction)
     n = truth.shape[0]
     dp = mesh.shape[axis]
-    if n % dp != 0:
-        raise ValueError(
-            f"the '{axis}' mesh axis extent ({dp}) must divide the "
-            f"calibration batch ({n}) so every shard runs an identical "
-            f"kernel")
+    pad = (-n) % dp
+    if pad:
+        # zero-sample padding is EXACT here: every residual term carries a
+        # field factor, so PRE(0) == 0 and the padded samples contribute
+        # nothing to the psum'd moment accumulators; their (meaningless)
+        # scores are sliced off below and n stays the TRUE batch in the
+        # modulation denominators.
+        widths = ((0, pad),) + ((0, 0),) * (truth.ndim - 1)
+        truth = jnp.pad(truth, widths)
+        prediction = jnp.pad(prediction, widths)
     spec = P(axis, *([None] * (truth.ndim - 1)))
 
     # check_vma=False: pallas_call's out ShapeDtypeStructs carry no
@@ -201,7 +208,8 @@ def sharded_fused_cp_scores(diff_stats_fn, truth, prediction, mesh: Mesh,
 
     truth = shard_batch(truth, mesh, axis)
     prediction = shard_batch(prediction, mesh, axis)
-    return jax.jit(local_scores)(truth, prediction)
+    scores = jax.jit(local_scores)(truth, prediction)
+    return scores[:n] if pad else scores
 
 
 def make_sharded_fused_apply(model, variables, mesh: Mesh, axis: str = "dp",

@@ -14,6 +14,7 @@ from cppre.parallel import (
     fno_param_shardings,
     make_mesh,
     sharded_calibrate,
+    sharded_fused_cp_scores,
     stencil_conv_sharded,
 )
 
@@ -382,10 +383,13 @@ def test_sharded_fused_cp_scores_matches_single_device():
         q = float(sharded_calibrate(scores, 0.1, mesh))
         np.testing.assert_allclose(q, ref_q, rtol=2e-5)
 
-    with pytest.raises(ValueError, match="divide"):
-        sharded_fused_cp_scores(
-            lambda t, p: sk.ns_joint_cp_diff_stats(t, p, dt, dx, dy),
-            truth[:6], pred[:6], mesh)
+    # uneven batches are zero-sample padded (PRE(0) == 0 adds nothing to
+    # the moments) — exactness vs the single-device path asserted in
+    # test_sharded_fused_cp_scores_uneven_batch_exact
+    got6 = sharded_fused_cp_scores(
+        lambda t, p: sk.ns_joint_cp_diff_stats(t, p, dt, dx, dy),
+        truth[:6], pred[:6], mesh)
+    assert got6.shape == (6,)
 
 
 @needs_8
@@ -450,3 +454,23 @@ def test_sharded_calibrate_exact_uneven_shards_property(n_cal, alpha):
         q_shd = sharded_calibrate(scores, alpha, mesh)
         np.testing.assert_allclose(np.asarray(q_shd), np.asarray(q_ref),
                                    atol=0)
+
+
+@pytest.mark.parametrize("n_cal", [10, 13])
+def test_sharded_fused_cp_scores_uneven_batch_exact(n_cal):
+    """Batches that do not divide the dp extent are zero-sample padded:
+    PRE(0) == 0 contributes nothing to the psum'd moments, so the scores
+    must equal the single-device fused pipeline on the TRUE batch."""
+    from cppre.ops.pallas import stencil_kernels as sk
+    from cppre.ops.pallas.stencil_kernels import _scores_from_diff_stats
+
+    rng = np.random.default_rng(n_cal)
+    t = jnp.asarray(rng.standard_normal((n_cal, 3, 5, 8, 8)), jnp.float32)
+    p = t + 0.02
+    fn = lambda a, b: sk.ns_joint_cp_diff_stats(a, b, 0.01, 0.01, 0.01)
+    d, s, q = fn(t, p)
+    ref = _scores_from_diff_stats(d, s, q, n_cal, 1e-6)
+    mesh = make_mesh(8, dp=8, tp=1)
+    got = sharded_fused_cp_scores(fn, t, p, mesh)
+    assert got.shape == (n_cal,)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4)
