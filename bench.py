@@ -324,7 +324,10 @@ def _jax_leg_child(dims: str):
 def main():
     import sys
 
-    fields, pred = _synthetic_fields()
+    # Field generation is deferred until a probe has passed: the synthetic
+    # tensors are ~1 GB of numpy allocations (minutes under memory
+    # pressure), and the outage path must emit its error JSON line fast.
+    fields = pred = None
     deadline = time.monotonic() + RETRY_BUDGET_S
     t_jax = None
     err = None
@@ -337,6 +340,7 @@ def main():
     # for the life of the process.
     if _probe_backend():
         try:
+            fields, pred = _synthetic_fields()
             t_jax = bench_jax(fields, pred)
         except RuntimeError as e:
             err = str(e).splitlines()[0][:300]
@@ -360,6 +364,8 @@ def main():
         _emit(None, None, error=f"TPU backend unavailable after retries "
                                 f"({RETRY_BUDGET_S:.0f}s budget): {err}")
         return
+    if fields is None:  # jax leg ran in a retry subprocess
+        fields, pred = _synthetic_fields()
     t_torch = bench_torch_cpu(fields, pred)
     # "fields" processed per pipeline call: 2 tensors of N_CAL trajectories
     fields_per_call = 2 * N_CAL

@@ -203,14 +203,17 @@ def _projection_supported(z_shape, fc1, fc2) -> bool:
 def _fused_projection_primal(z, fc1, fc2, interpret):
     from ..ops.pallas.fno_block import projection2d_fused
 
-    ny = z.shape[3]
+    b, nv, nx, ny, _ = z.shape
     pad = (-ny) % 8
     if pad:
         z = jnp.pad(z, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
     out = projection2d_fused(z, fc1, fc2, interpret=interpret)
+    # kernel emits the flattened [B, V, Nx*Ny_pad, step] plane (Mosaic
+    # cannot split the lane dim in-kernel); un-flatten + crop here.
+    out = out.reshape(b, nv, nx, ny + pad, -1)
     if pad:
-        out = out[..., :ny]
-    return jnp.moveaxis(out, 2, -1)          # [B, V, Nx, Ny, step]
+        out = out[:, :, :, :ny]
+    return out                               # [B, V, Nx, Ny, step]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -227,15 +230,17 @@ def _fused_projection_bwd(interpret, bwd_impl, res, g):
     if bwd_impl == "pallas":
         from ..ops.pallas.fno_block import projection2d_bwd_fused
 
-        ny = z.shape[3]
+        b, nv, nx, ny, _ = z.shape
         pad = (-ny) % 8
-        gk = jnp.moveaxis(g, -1, 2)          # [B, V, step, Nx, Ny]
         if pad:
-            widths4 = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
-            zk = jnp.pad(z, widths4)
-            gk = jnp.pad(gk, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad)))
+            widths5 = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
+            zk = jnp.pad(z, widths5)
+            gk = jnp.pad(g, widths5)
         else:
-            zk = z
+            zk, gk = z, g
+        # kernel takes the cotangent in its flattened [B, V, S, step]
+        # output layout (pad rows are zero by construction of gk's pad).
+        gk = gk.reshape(b, nv, nx * (ny + pad), -1)
         dz, da1, db1, da2, db2 = projection2d_bwd_fused(
             zk, gk, fc1, fc2, interpret=interpret)
         if pad:

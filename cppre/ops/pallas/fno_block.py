@@ -146,14 +146,14 @@ def fno_block2d_fused(x, block_params, x3, m1: int, m2: int,
 
         # ---- forward truncated DFT (last-dim matmuls + small transposes)
         x2d = xv.reshape(w_ch * nx, ny)
-        yr = jnp.dot(x2d, cy_ref[...]).reshape(w_ch, nx, m2)
-        yi = jnp.dot(x2d, sy_ref[...]).reshape(w_ch, nx, m2)
+        yr = _dot(x2d, cy_ref[...]).reshape(w_ch, nx, m2)
+        yi = _dot(x2d, sy_ref[...]).reshape(w_ch, nx, m2)
         yrT = jnp.swapaxes(yr, 1, 2).reshape(w_ch * m2, nx)     # [W*m2, Nx]
         yiT = jnp.swapaxes(yi, 1, 2).reshape(w_ch * m2, nx)
-        zr = (jnp.dot(yrT, cxk_ref[...])
-              - jnp.dot(yiT, sxk_ref[...])).reshape(w_ch, m2, k_fr)
-        zi = (jnp.dot(yrT, sxk_ref[...])
-              + jnp.dot(yiT, cxk_ref[...])).reshape(w_ch, m2, k_fr)
+        zr = (_dot(yrT, cxk_ref[...])
+              - _dot(yiT, sxk_ref[...])).reshape(w_ch, m2, k_fr)
+        zi = (_dot(yrT, sxk_ref[...])
+              + _dot(yiT, cxk_ref[...])).reshape(w_ch, m2, k_fr)
 
         # ---- per-mode channel mixing: sum of outer products over W_in
         wcr_v = wcr_ref[:, :, 0]                                # [W, W, m2, K]
@@ -167,30 +167,31 @@ def fno_block2d_fused(x, block_params, x3, m1: int, m2: int,
         # ---- inverse transforms
         mr2 = mr.reshape(w_ch * m2, k_fr)
         mi2 = mi.reshape(w_ch * m2, k_fr)
-        vr = (jnp.dot(mr2, cxT_ref[...])
-              + jnp.dot(mi2, sxT_ref[...])).reshape(w_ch, m2, nx)
-        vi = (jnp.dot(mi2, cxT_ref[...])
-              - jnp.dot(mr2, sxT_ref[...])).reshape(w_ch, m2, nx)
+        vr = (_dot(mr2, cxT_ref[...])
+              + _dot(mi2, sxT_ref[...])).reshape(w_ch, m2, nx)
+        vi = (_dot(mi2, cxT_ref[...])
+              - _dot(mr2, sxT_ref[...])).reshape(w_ch, m2, nx)
         vrT = jnp.swapaxes(vr, 1, 2).reshape(w_ch * nx, m2)
         viT = jnp.swapaxes(vi, 1, 2).reshape(w_ch * nx, m2)
-        spec = ((jnp.dot(vrT, iyc_ref[...]) + jnp.dot(viT, iys_ref[...]))
+        spec = ((_dot(vrT, iyc_ref[...]) + _dot(viT, iys_ref[...]))
                 .reshape(w_ch, nx, ny) * inv_scale)
 
-        # ---- channel MLP + 1x1 bypass as outer-product accumulations
+        # ---- channel MLP + 1x1 bypass as outer-product accumulations.
+        # Weights arrive host-pre-shaped [n_in, n_out, 1, 1] and biases
+        # [n_out, 1, 1]: Mosaic's layout inference rejects in-kernel 1-D ->
+        # 3-D reshapes (vector<N> -> vector<Nx1x1> "unsupported shape
+        # cast"), but indexing/broadcasting pre-ranked blocks lowers fine.
         def chan_contract(src, mat_ref, bias_ref, n_in, n_out):
-            acc = jnp.broadcast_to(
-                bias_ref[...].reshape(n_out, 1, 1), (n_out, nx, ny)
-            ).astype(jnp.float32)
+            acc = jnp.broadcast_to(bias_ref[...],
+                                   (n_out, nx, ny)).astype(jnp.float32)
             for i in range(n_in):
-                acc = acc + src[i][None] * mat_ref[i].reshape(n_out, 1, 1)
+                acc = acc + src[i][None] * mat_ref[i]
             return acc
 
-        h = jax.nn.gelu(chan_contract(spec, a1_ref, b1_ref, w_ch, w_mid),
-                        approximate=False)
+        h = _gelu(chan_contract(spec, a1_ref, b1_ref, w_ch, w_mid))
         x1 = chan_contract(h, a2_ref, b2_ref, w_mid, w_ch)
         x2 = chan_contract(xv, aw_ref, bw_ref, w_ch, w_ch)
-        out_ref[0, :, 0] = jax.nn.gelu(x1 + x2 + x3_ref[0, :, 0],
-                                       approximate=False)
+        out_ref[0, :, 0] = _gelu(x1 + x2 + x3_ref[0, :, 0])
 
     full = lambda *shape: pl.BlockSpec(shape, lambda v, bb: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
@@ -212,8 +213,9 @@ def fno_block2d_fused(x, block_params, x3, m1: int, m2: int,
         grid=(nv, b),  # b innermost: weight/table blocks stay resident
         in_specs=[
             x_spec, w_spec, w_spec,
-            full(w_ch, w_mid), full(w_mid), full(w_mid, w_ch), full(w_ch),
-            full(w_ch, w_ch), full(w_ch),
+            full(w_ch, w_mid, 1, 1), full(w_mid, 1, 1),
+            full(w_mid, w_ch, 1, 1), full(w_ch, 1, 1),
+            full(w_ch, w_ch, 1, 1), full(w_ch, 1, 1),
             full(ny, m2), full(ny, m2), full(nx, k_fr), full(nx, k_fr),
             full(k_fr, nx), full(k_fr, nx), full(m2, ny), full(m2, ny),
             x3_spec,
@@ -221,7 +223,10 @@ def fno_block2d_fused(x, block_params, x3, m1: int, m2: int,
         out_specs=x_spec,
         compiler_params=_vmem_params(est),
         interpret=interpret,
-    )(x.astype(jnp.float32), wcr, wci, a1, b1, a2, b2, aw, bw,
+    )(x.astype(jnp.float32), wcr, wci,
+      a1[:, :, None, None], b1[:, None, None],
+      a2[:, :, None, None], b2[:, None, None],
+      aw[:, :, None, None], bw[:, None, None],
       cy, sy, cxk, sxk, cxT, sxT, iyc, iys, x3.astype(jnp.float32))
 
 
@@ -236,13 +241,64 @@ def fno_block2d_fused(x, block_params, x3, m1: int, m2: int,
 # blocks (their BlockSpec index is constant over the inner grid axis).
 # ---------------------------------------------------------------------------
 
-_SQRT2 = float(np.sqrt(2.0))
+# In-kernel matmuls must pin f32 MXU passes: Mosaic's default precision
+# truncates f32 dot operands to bf16 (measured ~6e-3 relative error vs the
+# XLA path, which runs the package-wide Precision.HIGHEST from models.fno).
+_HI = dict(precision=jax.lax.Precision.HIGHEST,
+           preferred_element_type=jnp.float32)
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, **_HI)
+
+
+_SQRT_HALF = float(np.sqrt(0.5))
 _INV_SQRT_2PI = float(1.0 / np.sqrt(2.0 * np.pi))
+
+# Mosaic's TPU lowering has no erf/erfc rule (only erf_inv is registered in
+# jax._src.pallas.mosaic.lowering), so jax.nn.gelu(approximate=False) —
+# which computes via lax.erfc — raises NotImplementedError inside a real
+# pallas_call even though it works in interpret mode. The kernels therefore
+# compute exact gelu from XLA's own f32 rational erf (openxla math.cc
+# ErfImpl32: degree-4/6 polynomials in z^2, |z| clamped to 4) with
+# saturated tails. Measured against jax.nn.gelu(approximate=False) over
+# [-12, 12]: max |d| = 2.9e-6 absolute (5e-7 of scale); dgelu 4.8e-7.
+_ERF_ALPHA = (0.00022905065861350646, 0.0034082910107109506,
+              0.050955695062380861, 0.18520832239976145,
+              1.128379143519084)
+_ERF_BETA = (-1.1791602954361697e-7, 2.3547966471313185e-5,
+             0.0010179625278914885, 0.014070470171167667,
+             0.11098505178285362, 0.49746925110067538, 1.0)
+
+
+def _poly(x, coeffs):
+    acc = jnp.full_like(x, coeffs[0])
+    for c in coeffs[1:]:
+        acc = acc * x + jnp.asarray(c, x.dtype)
+    return acc
+
+
+def _erf32(z):
+    """XLA's f32 rational erf; exact to ~1 ulp for |z| <= 4, clamped beyond
+    (erf(4) = 1 - 1.5e-8, below f32 resolution of 1)."""
+    zc = jnp.clip(z, -4.0, 4.0)
+    z2 = zc * zc
+    return zc * _poly(z2, _ERF_ALPHA) / _poly(z2, _ERF_BETA)
+
+
+def _gelu(u):
+    """Exact (approximate=False) gelu from supported Mosaic primitives."""
+    z = u * _SQRT_HALF
+    g = 0.5 * u * (1.0 + _erf32(z))
+    return jnp.where(z <= -4.0, jnp.zeros_like(u),
+                     jnp.where(z >= 4.0, u, g))
 
 
 def _dgelu(u):
     """Exact gelu'(u) = Phi(u) + u * phi(u) (approximate=False gelu)."""
-    cdf = 0.5 * (1.0 + jax.lax.erf(u / _SQRT2))
+    z = u * _SQRT_HALF
+    erf = jnp.clip(_erf32(z), -1.0, 1.0)
+    cdf = 0.5 * (1.0 + erf)
     return cdf + u * jnp.exp(-0.5 * u * u) * _INV_SQRT_2PI
 
 
@@ -311,14 +367,14 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
 
         # ==== forward recompute (identical math to fno_block2d_fused) ====
         x2d = xv.reshape(w_ch * nx, ny)
-        yr = jnp.dot(x2d, cy_ref[...]).reshape(w_ch, nx, m2)
-        yi = jnp.dot(x2d, sy_ref[...]).reshape(w_ch, nx, m2)
+        yr = _dot(x2d, cy_ref[...]).reshape(w_ch, nx, m2)
+        yi = _dot(x2d, sy_ref[...]).reshape(w_ch, nx, m2)
         yrT = jnp.swapaxes(yr, 1, 2).reshape(w_ch * m2, nx)
         yiT = jnp.swapaxes(yi, 1, 2).reshape(w_ch * m2, nx)
-        zr = (jnp.dot(yrT, cxk_ref[...])
-              - jnp.dot(yiT, sxk_ref[...])).reshape(w_ch, m2, k_fr)
-        zi = (jnp.dot(yrT, sxk_ref[...])
-              + jnp.dot(yiT, cxk_ref[...])).reshape(w_ch, m2, k_fr)
+        zr = (_dot(yrT, cxk_ref[...])
+              - _dot(yiT, sxk_ref[...])).reshape(w_ch, m2, k_fr)
+        zi = (_dot(yrT, sxk_ref[...])
+              + _dot(yiT, cxk_ref[...])).reshape(w_ch, m2, k_fr)
 
         wcr_v = wcr_ref[:, :, 0]                               # [W, W, m2, K]
         wci_v = wci_ref[:, :, 0]
@@ -330,13 +386,13 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
 
         mr2 = mr.reshape(w_ch * m2, k_fr)
         mi2 = mi.reshape(w_ch * m2, k_fr)
-        vr = (jnp.dot(mr2, cxT_ref[...])
-              + jnp.dot(mi2, sxT_ref[...])).reshape(w_ch, m2, nx)
-        vi = (jnp.dot(mi2, cxT_ref[...])
-              - jnp.dot(mr2, sxT_ref[...])).reshape(w_ch, m2, nx)
+        vr = (_dot(mr2, cxT_ref[...])
+              + _dot(mi2, sxT_ref[...])).reshape(w_ch, m2, nx)
+        vi = (_dot(mi2, cxT_ref[...])
+              - _dot(mr2, sxT_ref[...])).reshape(w_ch, m2, nx)
         vrT = jnp.swapaxes(vr, 1, 2).reshape(w_ch * nx, m2)
         viT = jnp.swapaxes(vi, 1, 2).reshape(w_ch * nx, m2)
-        spec = ((jnp.dot(vrT, iyc_ref[...]) + jnp.dot(viT, iys_ref[...]))
+        spec = ((_dot(vrT, iyc_ref[...]) + _dot(viT, iys_ref[...]))
                 .reshape(w_ch, nx, ny) * inv_scale)
 
         def contract(src, mat, bias, n_in, n_out):
@@ -353,7 +409,7 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
 
         a1_v, a2_v, aw_v = a1_ref[...], a2_ref[...], aw_ref[...]
         pre1 = contract(spec, a1_v, b1_ref[...], w_ch, w_mid)
-        h = jax.nn.gelu(pre1, approximate=False)
+        h = _gelu(pre1)
         x1 = contract(h, a2_v, b2_ref[...], w_mid, w_ch)
         x2 = contract(xv, aw_v, bw_ref[...], w_ch, w_ch)
         s = x1 + x2 + x3_ref[0, :, 0]
@@ -394,16 +450,16 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
         # spectral adjoint (transposed tables; zero pad rows/cols make the
         # padded-lane contributions vanish exactly as in the forward)
         dspec2d = dspec.reshape(w_ch * nx, ny) * inv_scale
-        dvrT = jnp.dot(dspec2d, iycT_ref[...])                 # [W*Nx, m2]
-        dviT = jnp.dot(dspec2d, iysT_ref[...])
+        dvrT = _dot(dspec2d, iycT_ref[...])                 # [W*Nx, m2]
+        dviT = _dot(dspec2d, iysT_ref[...])
         dvr = jnp.swapaxes(dvrT.reshape(w_ch, nx, m2), 1, 2) \
                  .reshape(w_ch * m2, nx)
         dvi = jnp.swapaxes(dviT.reshape(w_ch, nx, m2), 1, 2) \
                  .reshape(w_ch * m2, nx)
-        dmr = (jnp.dot(dvr, cxk_ref[...])
-               - jnp.dot(dvi, sxk_ref[...])).reshape(w_ch, m2, k_fr)
-        dmi = (jnp.dot(dvi, cxk_ref[...])
-               + jnp.dot(dvr, sxk_ref[...])).reshape(w_ch, m2, k_fr)
+        dmr = (_dot(dvr, cxk_ref[...])
+               - _dot(dvi, sxk_ref[...])).reshape(w_ch, m2, k_fr)
+        dmi = (_dot(dvi, cxk_ref[...])
+               + _dot(dvr, sxk_ref[...])).reshape(w_ch, m2, k_fr)
 
         dzr = jnp.zeros((w_ch, m2, k_fr), jnp.float32)
         dzi = jnp.zeros((w_ch, m2, k_fr), jnp.float32)
@@ -416,14 +472,14 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
 
         dzr2 = dzr.reshape(w_ch * m2, k_fr)
         dzi2 = dzi.reshape(w_ch * m2, k_fr)
-        dyrT = jnp.dot(dzr2, cxT_ref[...]) + jnp.dot(dzi2, sxT_ref[...])
-        dyiT = -jnp.dot(dzr2, sxT_ref[...]) + jnp.dot(dzi2, cxT_ref[...])
+        dyrT = _dot(dzr2, cxT_ref[...]) + _dot(dzi2, sxT_ref[...])
+        dyiT = -_dot(dzr2, sxT_ref[...]) + _dot(dzi2, cxT_ref[...])
         dyr = jnp.swapaxes(dyrT.reshape(w_ch, m2, nx), 1, 2) \
                  .reshape(w_ch * nx, m2)
         dyi = jnp.swapaxes(dyiT.reshape(w_ch, m2, nx), 1, 2) \
                  .reshape(w_ch * nx, m2)
-        dx_spec = (jnp.dot(dyr, cyT_ref[...])
-                   + jnp.dot(dyi, syT_ref[...])).reshape(w_ch, nx, ny)
+        dx_spec = (_dot(dyr, cyT_ref[...])
+                   + _dot(dyi, syT_ref[...])).reshape(w_ch, nx, ny)
 
         dx_byp = contract(gs, aw_v.T, None, w_ch, w_ch)
         dx_ref[0, :, 0] = dx_spec + dx_byp
@@ -498,7 +554,7 @@ def projection_vmem_est(w_ch: int, w_proj: int, step: int,
     s_rows = nx * ny
     return (nx * _vmem_pad(ny, 8) * _vmem_pad(w_ch, 128)
             + 3 * _vmem_pad(s_rows, 8) * _vmem_pad(w_proj, 128)
-            + step * nx * _vmem_pad(ny, 128)) * 4
+            + _vmem_pad(s_rows, 8) * _vmem_pad(step, 128)) * 4
 
 
 def projection2d_fused(z, fc1, fc2, interpret: bool | None = None):
@@ -506,8 +562,10 @@ def projection2d_fused(z, fc1, fc2, interpret: bool | None = None):
 
     z [B, V, Nx, Ny, W] (the post-block transpose layout), fc1/fc2 the
     flax Dense param dicts {kernel, bias} with kernels [W, Wp] and
-    [Wp, step]. Returns [B, V, step, Nx, Ny] (channel-leading so the
-    output block tiles on (Nx, Ny); the caller moves step last).
+    [Wp, step]. Returns [B, V, Nx*Ny, step]: the kernel keeps the spatial
+    plane flattened because Mosaic cannot split the lane dim in-kernel
+    ([step, Nx*Ny] -> [step, Nx, Ny] is an unsupported shape cast); the
+    caller un-flattens on the host where it is a free XLA reshape.
     Requires Ny % 8 == 0 (the in-kernel [Nx, Ny, W] -> [Nx*Ny, W] view);
     the caller pads/crops non-aligned Ny (pad lanes produce bias+gelu
     garbage that never mixes across space — the projection is pointwise)."""
@@ -526,25 +584,24 @@ def projection2d_fused(z, fc1, fc2, interpret: bool | None = None):
     def kernel(z_ref, a1_ref, b1_ref, a2_ref, b2_ref, out_ref):
         zv = z_ref[0, 0]                            # [Nx, Ny, W]
         z2d = zv.reshape(nx * ny, w_ch)
-        pre = jnp.dot(z2d, a1_ref[...]) + b1_ref[...][None, :]
-        h = jax.nn.gelu(pre, approximate=False)
-        out2d = jnp.dot(h, a2_ref[...]) + b2_ref[...][None, :]  # [S, step]
-        out_ref[0, 0] = jnp.swapaxes(out2d, 0, 1).reshape(step, nx, ny)
+        pre = _dot(z2d, a1_ref[...]) + b1_ref[...][None, :]
+        h = _gelu(pre)
+        out_ref[0, 0] = _dot(h, a2_ref[...]) + b2_ref[...][None, :]
 
     full = lambda *shape: pl.BlockSpec(shape, lambda bb, v: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     z_spec = pl.BlockSpec((1, 1, nx, ny, w_ch),
                           lambda bb, v: (bb, v, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, 1, step, nx, ny),
-                          lambda bb, v: (bb, v, 0, 0, 0),
+    o_spec = pl.BlockSpec((1, 1, nx * ny, step),
+                          lambda bb, v: (bb, v, 0, 0),
                           memory_space=pltpu.VMEM)
     from .stencil_kernels import _vmem_params
 
     est = projection_vmem_est(w_ch, w_proj, step, nx, ny)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, nv, step, nx, ny), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, nv, nx * ny, step), jnp.float32),
         grid=(b, nv),
         in_specs=[z_spec, full(w_ch, w_proj), full(w_proj),
                   full(w_proj, step), full(step)],
@@ -556,8 +613,8 @@ def projection2d_fused(z, fc1, fc2, interpret: bool | None = None):
 
 def projection2d_bwd_fused(z, g, fc1, fc2, interpret: bool | None = None):
     """Backward of `projection2d_fused`: z the input, g the cotangent in
-    the kernel's [B, V, step, Nx, Ny] output layout (zero in any pad
-    lanes). Returns (dz [B, V, Nx, Ny, W], da1, db1, da2, db2); weight
+    the kernel's flattened [B, V, Nx*Ny, step] output layout (zero in any
+    pad rows). Returns (dz [B, V, Nx, Ny, W], da1, db1, da2, db2); weight
     grads accumulate across the whole grid in resident VMEM blocks."""
     b, nv, nx, ny, w_ch = z.shape
     a1, b1 = fc1["kernel"], fc1["bias"]
@@ -575,11 +632,10 @@ def projection2d_bwd_fused(z, g, fc1, fc2, interpret: bool | None = None):
         first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
         zv = z_ref[0, 0]
         z2d = zv.reshape(nx * ny, w_ch)
-        pre = jnp.dot(z2d, a1_ref[...]) + b1_ref[...][None, :]
-        h = jax.nn.gelu(pre, approximate=False)
+        pre = _dot(z2d, a1_ref[...]) + b1_ref[...][None, :]
+        h = _gelu(pre)
 
-        gv = g_ref[0, 0]                            # [step, Nx, Ny]
-        g2d = jnp.swapaxes(gv.reshape(step, nx * ny), 0, 1)  # [S, step]
+        g2d = g_ref[0, 0]                           # [S, step]
 
         @pl.when(first)
         def _init():
@@ -590,14 +646,14 @@ def projection2d_bwd_fused(z, g, fc1, fc2, interpret: bool | None = None):
 
         # fc2 grads: contract over the S rows (transposed-lhs matmul)
         da2_ref[...] += jax.lax.dot_general(
-            h, g2d, (((0,), (0,)), ((), ())))
-        db2_ref[...] += jnp.sum(g2d, axis=0).reshape(1, step)
-        dh = jnp.dot(g2d, jnp.swapaxes(a2_ref[...], 0, 1))   # [S, Wp]
+            h, g2d, (((0,), (0,)), ((), ())), **_HI)
+        db2_ref[...] += jnp.sum(g2d, axis=0, keepdims=True)
+        dh = _dot(g2d, jnp.swapaxes(a2_ref[...], 0, 1))   # [S, Wp]
         dpre = dh * _dgelu(pre)
         da1_ref[...] += jax.lax.dot_general(
-            z2d, dpre, (((0,), (0,)), ((), ())))
-        db1_ref[...] += jnp.sum(dpre, axis=0).reshape(1, w_proj)
-        dz2d = jnp.dot(dpre, jnp.swapaxes(a1_ref[...], 0, 1))  # [S, W]
+            z2d, dpre, (((0,), (0,)), ((), ())), **_HI)
+        db1_ref[...] += jnp.sum(dpre, axis=0, keepdims=True)
+        dz2d = _dot(dpre, jnp.swapaxes(a1_ref[...], 0, 1))  # [S, W]
         dz_ref[0, 0] = dz2d.reshape(nx, ny, w_ch)
 
     full = lambda *shape: pl.BlockSpec(shape, lambda bb, v: (0,) * len(shape),
@@ -605,8 +661,8 @@ def projection2d_bwd_fused(z, g, fc1, fc2, interpret: bool | None = None):
     z_spec = pl.BlockSpec((1, 1, nx, ny, w_ch),
                           lambda bb, v: (bb, v, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((1, 1, step, nx, ny),
-                          lambda bb, v: (bb, v, 0, 0, 0),
+    g_spec = pl.BlockSpec((1, 1, nx * ny, step),
+                          lambda bb, v: (bb, v, 0, 0),
                           memory_space=pltpu.VMEM)
     f32 = jnp.float32
     out_shape = (

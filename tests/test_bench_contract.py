@@ -32,9 +32,13 @@ def test_bench_emits_error_json_when_backend_unavailable():
     import os
 
     env = dict(os.environ)
-    # No GPU here: backend init either raises RuntimeError fast or (when
-    # the axon hook is mid-outage) hangs — both real failure modes. The
-    # short probe timeout bounds the hang case.
+    # No GPU here, so backend init raises RuntimeError fast. The axon
+    # sitecustomize hook must NOT register its backend in the child: its
+    # register() call overrides platform resolution, so with a healthy
+    # tunnel the child would run the real TPU benchmark and blow the test
+    # timeout (observed 2026-08-18, the moment the tunnel came back up).
+    # Dropping the trigger env var keeps the test hermetic either way.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cuda"
     code = (
         "import bench;"
