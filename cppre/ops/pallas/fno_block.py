@@ -355,7 +355,7 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(x_ref, g_ref, wcr_ref, wci_ref, a1_ref, b1_ref, a2_ref,
-               b2_ref, aw_ref, bw_ref, x3_ref,
+               b2_ref, aw_ref, bw_ref, a1T_ref, a2T_ref, awT_ref, x3_ref,
                cy_ref, sy_ref, cxk_ref, sxk_ref, cxT_ref, sxT_ref,
                iyc_ref, iys_ref, cyT_ref, syT_ref, iycT_ref, iysT_ref,
                dx_ref, dwcr_ref, dwci_ref, da1_ref, db1_ref, da2_ref,
@@ -396,22 +396,24 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
                 .reshape(w_ch, nx, ny) * inv_scale)
 
         def contract(src, mat, bias, n_in, n_out):
-            # acc[o] = bias[o] + sum_i src[i] * mat[i, o]
+            # acc[o] = bias[o] + sum_i src[i] * mat[i, o]. Weights arrive
+            # host-pre-shaped [n_in, n_out, 1, 1] and biases [n_out, 1, 1]:
+            # Mosaic rejects in-kernel 1-D -> 3-D reshapes ("unsupported
+            # shape cast"), but broadcasting pre-ranked blocks lowers fine
+            # (same pattern as the forward kernel's chan_contract).
             if bias is None:
                 acc = jnp.zeros((n_out, nx, ny), jnp.float32)
             else:
-                acc = jnp.broadcast_to(
-                    bias.reshape(n_out, 1, 1), (n_out, nx, ny)
-                ).astype(jnp.float32)
+                acc = jnp.broadcast_to(bias, (n_out, nx, ny)) \
+                         .astype(jnp.float32)
             for i in range(n_in):
-                acc = acc + src[i][None] * mat[i].reshape(n_out, 1, 1)
+                acc = acc + src[i][None] * mat[i]
             return acc
 
-        a1_v, a2_v, aw_v = a1_ref[...], a2_ref[...], aw_ref[...]
-        pre1 = contract(spec, a1_v, b1_ref[...], w_ch, w_mid)
+        pre1 = contract(spec, a1_ref[...], b1_ref[...], w_ch, w_mid)
         h = _gelu(pre1)
-        x1 = contract(h, a2_v, b2_ref[...], w_mid, w_ch)
-        x2 = contract(xv, aw_v, bw_ref[...], w_ch, w_ch)
+        x1 = contract(h, a2_ref[...], b2_ref[...], w_mid, w_ch)
+        x2 = contract(xv, aw_ref[...], bw_ref[...], w_ch, w_ch)
         s = x1 + x2 + x3_ref[0, :, 0]
 
         # ==== backward ====
@@ -440,12 +442,12 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
         for m in range(w_mid):
             da2_ref[m, :] += jnp.sum(h[m][None] * gs, axis=(1, 2))
 
-        dh = contract(gs, a2_v.T, None, w_ch, w_mid)
+        dh = contract(gs, a2T_ref[...], None, w_ch, w_mid)
         dpre1 = dh * _dgelu(pre1)
         db1_ref[...] += jnp.sum(dpre1, axis=(1, 2)).reshape(1, w_mid)
         for i in range(w_ch):
             da1_ref[i, :] += jnp.sum(spec[i][None] * dpre1, axis=(1, 2))
-        dspec = contract(dpre1, a1_v.T, None, w_mid, w_ch)
+        dspec = contract(dpre1, a1T_ref[...], None, w_mid, w_ch)
 
         # spectral adjoint (transposed tables; zero pad rows/cols make the
         # padded-lane contributions vanish exactly as in the forward)
@@ -481,7 +483,7 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
         dx_spec = (_dot(dyr, cyT_ref[...])
                    + _dot(dyi, syT_ref[...])).reshape(w_ch, nx, ny)
 
-        dx_byp = contract(gs, aw_v.T, None, w_ch, w_ch)
+        dx_byp = contract(gs, awT_ref[...], None, w_ch, w_ch)
         dx_ref[0, :, 0] = dx_spec + dx_byp
 
     full = lambda *shape: pl.BlockSpec(shape, lambda v, bb: (0,) * len(shape),
@@ -522,8 +524,11 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
         grid=(nv, b),  # b innermost: weight/grad blocks stay resident
         in_specs=[
             x_spec, x_spec, w_spec, w_spec,
-            full(w_ch, w_mid), full(w_mid), full(w_mid, w_ch), full(w_ch),
-            full(w_ch, w_ch), full(w_ch), x3_spec,
+            full(w_ch, w_mid, 1, 1), full(w_mid, 1, 1),
+            full(w_mid, w_ch, 1, 1), full(w_ch, 1, 1),
+            full(w_ch, w_ch, 1, 1), full(w_ch, 1, 1),
+            full(w_mid, w_ch, 1, 1), full(w_ch, w_mid, 1, 1),
+            full(w_ch, w_ch, 1, 1), x3_spec,
             full(ny, m2), full(ny, m2), full(nx, k_fr), full(nx, k_fr),
             full(k_fr, nx), full(k_fr, nx), full(m2, ny), full(m2, ny),
             full(m2, ny), full(m2, ny), full(ny, m2), full(ny, m2),
@@ -531,7 +536,12 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
         out_specs=out_specs,
         compiler_params=_vmem_params(est),
         interpret=interpret,
-    )(x.astype(f32), g.astype(f32), wcr, wci, a1, b1, a2, b2, aw, bw,
+    )(x.astype(f32), g.astype(f32), wcr, wci,
+      a1[:, :, None, None], b1[:, None, None],
+      a2[:, :, None, None], b2[:, None, None],
+      aw[:, :, None, None], bw[:, None, None],
+      a1.T[:, :, None, None], a2.T[:, :, None, None],
+      aw.T[:, :, None, None],
       x3.astype(f32), cy, sy, cxk, sxk, cxT, sxT, iyc, iys,
       jnp.asarray(cyT), jnp.asarray(syT), jnp.asarray(iycT),
       jnp.asarray(iysT))

@@ -216,7 +216,9 @@ def _jorek_math(equation: str, f, nt, nx, ny, r0: float, dr: float,
     beyond the true grid get finite garbage the caller crops — JOREK's R
     is positive and bounded away from 0)."""
     GAMMA = 5.0 / 3.0
-    idx = jax.lax.broadcasted_iota(jnp.float32, (nx - 2, 1), 0)
+    # tpu.iota verifies integer-only result types; build int32 then cast
+    idx = jax.lax.broadcasted_iota(jnp.int32, (nx - 2, 1), 0) \
+             .astype(jnp.float32)
     R_int = r0 + dr * (idx + 1.0)
     rho, phi, T = f[0], f[1], f[2]
     I = lambda a: _interior(a, nt, nx, ny)
