@@ -416,6 +416,15 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
         x2 = contract(xv, aw_ref[...], bw_ref[...], w_ch, w_ch)
         s = x1 + x2 + x3_ref[0, :, 0]
 
+        def rsum(t):
+            # [C, Nx, Ny] -> [C, 1, 1]. One single-axis keepdims reduce at
+            # a time: Mosaic's multi-dim reduce of a rank-3 vector trips
+            # the same layout check as rank-1 values (layout.h:320
+            # arr.size() >= layout_rank, SIGABRT) — sequential lane-then-
+            # sublane reduces lower fine (probed on-chip, probe_patterns).
+            return jnp.sum(jnp.sum(t, axis=2, keepdims=True), axis=1,
+                           keepdims=True)
+
         # ==== backward ====
         gs = gv * _dgelu(s)                                    # [W, Nx, Ny]
 
@@ -435,18 +444,19 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
             dbw_ref[...] = jnp.zeros_like(dbw_ref)
 
         dx3_ref[0, :, 0] += gs
-        dbw_ref[...] += jnp.sum(gs, axis=(1, 2)).reshape(1, w_ch)
-        db2_ref[...] += jnp.sum(gs, axis=(1, 2)).reshape(1, w_ch)
+        gsum = rsum(gs)                                        # [W, 1, 1]
+        dbw_ref[...] += gsum
+        db2_ref[...] += gsum
         for i in range(w_ch):
-            daw_ref[i, :] += jnp.sum(xv[i][None] * gs, axis=(1, 2))
+            daw_ref[i] += rsum(xv[i][None] * gs)
         for m in range(w_mid):
-            da2_ref[m, :] += jnp.sum(h[m][None] * gs, axis=(1, 2))
+            da2_ref[m] += rsum(h[m][None] * gs)
 
         dh = contract(gs, a2T_ref[...], None, w_ch, w_mid)
         dpre1 = dh * _dgelu(pre1)
-        db1_ref[...] += jnp.sum(dpre1, axis=(1, 2)).reshape(1, w_mid)
+        db1_ref[...] += rsum(dpre1)
         for i in range(w_ch):
-            da1_ref[i, :] += jnp.sum(spec[i][None] * dpre1, axis=(1, 2))
+            da1_ref[i] += rsum(spec[i][None] * dpre1)
         dspec = contract(dpre1, a1T_ref[...], None, w_mid, w_ch)
 
         # spectral adjoint (transposed tables; zero pad rows/cols make the
@@ -496,29 +506,35 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
     x3_spec = pl.BlockSpec((1, w_ch, 1, nx, ny), lambda v, bb: (0, 0, v, 0, 0),
                            memory_space=pltpu.VMEM)
     f32 = jnp.float32
+    # weight grads as [in, out, 1, 1] blocks and bias grads as [n, 1, 1]
+    # columns: in-kernel accumulation is per-row rank-3 stores + sequential
+    # keepdims reduces (the only forms Mosaic's layout inference accepts —
+    # rank-1 values and multi-axis reduces SIGABRT the compiler); the host
+    # reshapes back to the public [in, out] / [1, n] contract below.
     out_shape = (
         jax.ShapeDtypeStruct(x.shape, f32),                        # dx
         jax.ShapeDtypeStruct((w_ch, w_ch, nv, m2, k_fr), f32),     # dwcr
         jax.ShapeDtypeStruct((w_ch, w_ch, nv, m2, k_fr), f32),     # dwci
-        jax.ShapeDtypeStruct((w_ch, w_mid), f32),                  # da1
-        jax.ShapeDtypeStruct((1, w_mid), f32),                     # db1
-        jax.ShapeDtypeStruct((w_mid, w_ch), f32),                  # da2
-        jax.ShapeDtypeStruct((1, w_ch), f32),                      # db2
-        jax.ShapeDtypeStruct((w_ch, w_ch), f32),                   # daw
-        jax.ShapeDtypeStruct((1, w_ch), f32),                      # dbw
+        jax.ShapeDtypeStruct((w_ch, w_mid, 1, 1), f32),            # da1
+        jax.ShapeDtypeStruct((w_mid, 1, 1), f32),                  # db1
+        jax.ShapeDtypeStruct((w_mid, w_ch, 1, 1), f32),            # da2
+        jax.ShapeDtypeStruct((w_ch, 1, 1), f32),                   # db2
+        jax.ShapeDtypeStruct((w_ch, w_ch, 1, 1), f32),             # daw
+        jax.ShapeDtypeStruct((w_ch, 1, 1), f32),                   # dbw
         jax.ShapeDtypeStruct((1, w_ch, nv, nx, ny), f32),          # dx3
     )
     out_specs = [
         x_spec, w_spec, w_spec,
-        full(w_ch, w_mid), full(1, w_mid), full(w_mid, w_ch),
-        full(1, w_ch), full(w_ch, w_ch), full(1, w_ch),
+        full(w_ch, w_mid, 1, 1), full(w_mid, 1, 1),
+        full(w_mid, w_ch, 1, 1), full(w_ch, 1, 1),
+        full(w_ch, w_ch, 1, 1), full(w_ch, 1, 1),
         x3_spec,
     ]
 
     est = fused_block_bwd_vmem_est(w_ch, w_mid, nx, ny, m1, m2)
     from .stencil_kernels import _vmem_params
 
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=(nv, b),  # b innermost: weight/grad blocks stay resident
@@ -545,6 +561,11 @@ def fno_block2d_bwd_fused(x, g, block_params, x3, m1: int, m2: int,
       x3.astype(f32), cy, sy, cxk, sxk, cxT, sxT, iyc, iys,
       jnp.asarray(cyT), jnp.asarray(syT), jnp.asarray(iycT),
       jnp.asarray(iysT))
+    dx, dwcr, dwci, da1, db1, da2, db2, daw, dbw, dx3 = outs
+    return (dx, dwcr, dwci,
+            da1.reshape(w_ch, w_mid), db1.reshape(1, w_mid),
+            da2.reshape(w_mid, w_ch), db2.reshape(1, w_ch),
+            daw.reshape(w_ch, w_ch), dbw.reshape(1, w_ch), dx3)
 
 
 # ---------------------------------------------------------------------------
