@@ -64,6 +64,50 @@ def _uniform_init(scale: float):
 PRECISION = jax.lax.Precision.HIGHEST
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def precision_scope(precision):
+    """Temporarily rebind the package matmul precision (read at TRACE time
+    by every einsum/Dense above).
+
+    The CP phase NEEDS `HIGHEST` (see the PRECISION comment: default-bf16
+    MXU passes make the forward batch-shape-dependent, which breaks
+    calibration/prediction exchangeability) — but TRAINING does not: SGD
+    noise dwarfs bf16 rounding, and each `HIGHEST` f32 matmul costs ~6 MXU
+    passes where the default costs 1. Wrap only the training apply:
+
+        fast_apply = with_matmul_precision(model.apply, "default")
+
+    and keep the calibration/prediction rollouts on the unwrapped apply."""
+    global PRECISION
+    if isinstance(precision, str):
+        precision = {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[precision]
+    old = PRECISION
+    PRECISION = precision
+    try:
+        yield
+    finally:
+        PRECISION = old
+
+
+def with_matmul_precision(apply_fn, precision):
+    """Wrap `apply_fn` so every call (and therefore every jit TRACE of it)
+    runs under `precision_scope(precision)` — composes with jit/remat/scan
+    because the scope is active whenever the tracer walks the body."""
+
+    def wrapped(*args, **kwargs):
+        with precision_scope(precision):
+            return apply_fn(*args, **kwargs)
+
+    return wrapped
+
+
 def _cmul(xr, xi, wr, wi, eq):
     """Complex einsum via 4 real einsums (returns re, im)."""
     f32 = jnp.float32

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.pallas.fno_block import fno_block2d_fused
-from .fno import FNO2d, PRECISION
+from . import fno as _fno
+from .fno import FNO2d
 
 __all__ = ["fno2d_forward_fused", "fused_supported", "make_fused_apply",
            "make_fused_train_apply"]
@@ -68,7 +69,7 @@ def make_fused_apply(model, variables, interpret=None):
 
 def _dense(p, x):
     return jnp.einsum("...i,io->...o", x, p["kernel"],
-                      precision=PRECISION) + p["bias"]
+                      precision=_fno.PRECISION) + p["bias"]
 
 
 # ---------------------------------------------------------------------------

@@ -78,14 +78,17 @@ def _dft_tables(nx: int, ny: int, m1: int, m2: int, nx_pad: int | None = None):
 def fused_block_vmem_est(w_ch: int, w_mid: int, nx: int, ny: int,
                          m1: int, m2: int) -> int:
     """VMEM footprint estimate (bytes) of one fused-block grid step at
-    padded-x resolution: x/out/x3 + spec/h/acc temporaries (~8 full-res
-    planes of W channels) + the two spectral weight blocks. Shared by the
-    kernel's compiler hint and `models.fused.fused_supported`'s routing
-    bound (oversize shapes must fall back to XLA instead of failing Mosaic
-    compilation at runtime)."""
+    padded-x resolution: double-buffered x/out/x3 pipeline blocks plus the
+    kernel body's live full-res temporaries (~16 W-channel planes total —
+    measured 16.79 MiB actual vs the old 8-plane estimate's 8.9 MiB at the
+    NS-flagship 104x100/W=16 shape, which kept the default 16 MiB grant
+    and OOM'd Mosaic's stack allocator) + the two spectral weight blocks.
+    Shared by the kernel's compiler hint and
+    `models.fused.fused_supported`'s routing bound (oversize shapes must
+    fall back to XLA instead of failing Mosaic compilation at runtime)."""
     nx_pad = _vmem_pad(nx, 8)
     k_fr = 2 * m1
-    return (8 * max(w_ch, w_mid) * nx_pad * _vmem_pad(ny, 128)
+    return (16 * max(w_ch, w_mid) * nx_pad * _vmem_pad(ny, 128)
             + 2 * w_ch * w_ch * _vmem_pad(m2, 8) * _vmem_pad(k_fr, 128)) * 4
 
 

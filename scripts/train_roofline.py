@@ -27,13 +27,15 @@ PEAK_BF16 = 197e12
 
 
 def main(fused: bool = False, remat: bool = True,
-         bwd_impl: str = "pallas"):
-    from cppre.models import FNO2d, make_fused_train_apply
+         bwd_impl: str = "pallas", precision: str = "highest"):
+    from cppre.models import (FNO2d, make_fused_train_apply,
+                              with_matmul_precision)
     from cppre.train.loops import make_optimizer, make_train_step
     from cppre.train.losses import lp_loss
 
     print(f"backend: {jax.default_backend()}  fused={fused}  remat={remat}"
-          f"  bwd={bwd_impl if fused else 'n/a'}", flush=True)
+          f"  bwd={bwd_impl if fused else 'n/a'}  precision={precision}",
+          flush=True)
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((BATCH, NVAR, NX, NY, T_IN)), jnp.float32)
     u = jnp.asarray(rng.standard_normal((BATCH, NVAR, NX, NY, T_OUT)), jnp.float32)
@@ -45,6 +47,11 @@ def main(fused: bool = False, remat: bool = True,
     opt_state = tx.init(params)
     apply_fn = (make_fused_train_apply(model, bwd_impl=bwd_impl)
                 if fused else model.apply)
+    if precision != "highest":
+        # train-time matmul precision knob: default-bf16 MXU passes are
+        # ~6x cheaper than HIGHEST; CP exchangeability only constrains the
+        # calibration/prediction rollouts, not SGD (models/fno.py scope)
+        apply_fn = with_matmul_precision(apply_fn, precision)
     train_step = make_train_step(apply_fn, tx, STEP, T_OUT, lp_loss,
                                  remat=remat)
 
@@ -92,5 +99,8 @@ if __name__ == "__main__":
     #   python scripts/train_roofline.py fused    -> fused forward legs
     #   python scripts/train_roofline.py fused noremat -> + no rollout remat
     #   python scripts/train_roofline.py fused xlabwd -> fused fwd, XLA bwd
+    #   python scripts/train_roofline.py bf16     -> train-time DEFAULT
+    #   matmul precision (1-pass bf16 MXU; CP rollouts stay HIGHEST)
     main(fused="fused" in sys.argv[1:], remat="noremat" not in sys.argv[1:],
-         bwd_impl="xla" if "xlabwd" in sys.argv[1:] else "pallas")
+         bwd_impl="xla" if "xlabwd" in sys.argv[1:] else "pallas",
+         precision="default" if "bf16" in sys.argv[1:] else "highest")

@@ -100,3 +100,33 @@ def test_spectral_dft_matches_fft_path():
     p1 = m1d.init(jax.random.PRNGKey(1), a1)
     rel = float(jnp.abs(m1d.apply(p1, a1) - m1f.apply(p1, a1)).max())
     assert rel < 1e-5
+
+
+def test_precision_scope_rebinds_and_restores():
+    """`with_matmul_precision` must reach trace time (the wrapped apply is
+    traced under the scope -> the lowered HLO carries the requested
+    operand precision) and restore the package global afterwards —
+    training wants DEFAULT-bf16 MXU passes while the CP phase keeps
+    HIGHEST (models/fno.py::precision_scope)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cppre.models import FNO2d, with_matmul_precision
+    from cppre.models import fno as fno_mod
+
+    m = FNO2d(T_in=1, step=1, modes1=4, modes2=4, num_vars=1, width_time=8)
+    a = jnp.zeros((2, 1, 16, 16, 1), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), a)
+
+    assert fno_mod.PRECISION == jax.lax.Precision.HIGHEST
+    fast = with_matmul_precision(m.apply, "default")
+    hlo_fast = jax.jit(fast).lower(v, a).as_text()
+    assert fno_mod.PRECISION == jax.lax.Precision.HIGHEST  # restored
+    hlo_slow = jax.jit(m.apply).lower(v, a).as_text()
+    # the HIGHEST trace pins operand_precision on its dots; the default
+    # trace must not (that's the whole point of the knob)
+    assert "HIGHEST" in hlo_slow
+    assert "HIGHEST" not in hlo_fast
+    # math agreement on CPU (precision only affects TPU MXU tiling)
+    d = float(jnp.abs(jax.jit(fast)(v, a) - jax.jit(m.apply)(v, a)).max())
+    assert d < 1e-5
