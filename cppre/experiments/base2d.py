@@ -48,6 +48,7 @@ def run_2d_cp(
     mesh=None,                    # jax.sharding.Mesh: dp-shard the CP phase
     fused_forward: bool = False,  # fused Pallas FNO blocks for the rollouts
     fused_train: bool = False,    # fused-forward custom_vjp training path
+    train_precision: str = "highest",  # matmul precision for TRAINING only
 ):
     T_in, T_out, step = cfg["T_in"], cfg["T_out"], cfg["Step"]
     n_train, n_cal = cfg.get("n_train", 0), cfg["n_cal"]
@@ -82,6 +83,14 @@ def run_2d_cp(
             train_apply = make_fused_train_apply(model)
         else:
             train_apply = model.apply
+        if train_precision != "highest":
+            # 1-pass bf16 MXU contractions for SGD only; the CP rollouts
+            # below keep the package HIGHEST precision — exchangeability
+            # constrains calibration/prediction, not training
+            # (models/fno.py::precision_scope)
+            from ..models import with_matmul_precision
+
+            train_apply = with_matmul_precision(train_apply, train_precision)
         params = fit(train_apply, params, tr_a, tr_u, tr_a[-5:], tr_u[-5:],
                      epochs=cfg["Epochs"], batch_size=cfg["Batch Size"],
                      step=step, T_out=T_out, loss_func=lp_loss,

@@ -301,3 +301,23 @@ def test_run_initial_wave_chunked_window():
         "T_in": 4, "T_out": 8, "Step": 4, "Width_time": 8, "Modes": 4,
         "Batch Size": 4}, verbose=False)
     assert np.isfinite(np.asarray(out["coverage_pre"])).all()
+
+
+def test_train_precision_knob_trains_and_calibrates():
+    """`run_2d_cp(train_precision="default")` must train under the bf16
+    trace (models/fno.py::precision_scope) and still run the CP phase at
+    package HIGHEST — same pipeline, same outputs structure, coverage
+    finite. On CPU the precisions are numerically identical, so this pins
+    the plumbing (the knob reaches fit's apply_fn) rather than the perf."""
+    from cppre.experiments.wave import run
+
+    cfg = {"Epochs": 3, "Nx": 32, "Modes": 8, "Width_time": 8,
+           "Batch Size": 10, "n_train": 20, "n_cal": 30, "n_pred": 20}
+    r_hi = run("joint", config=cfg, verbose=False)
+    r_bf = run("joint", config=cfg, verbose=False, train_precision="default")
+    assert np.all(np.isfinite(r_bf["coverage_aer_pre"]))
+    # CPU ignores TPU matmul precision -> identical training trajectories
+    np.testing.assert_allclose(r_bf["mse"], r_hi["mse"], rtol=1e-5)
+    from cppre.models import fno as fno_mod
+    import jax
+    assert fno_mod.PRECISION == jax.lax.Precision.HIGHEST
