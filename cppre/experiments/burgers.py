@@ -42,7 +42,7 @@ UB = np.asarray([3.0, 3.0, 3.0])
 
 
 def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
-        verbose: bool = True):
+        verbose: bool = True, train_precision: str = "highest"):
     cfg = dict(CONFIG, **(config or {}))
     T_in, T_out, step = cfg["T_in"], cfg["T_out"], cfg["Step"]
     sim = Burgers1D(cfg["Nx"], cfg["Nt"], cfg["x_min"], cfg["x_max"],
@@ -61,7 +61,13 @@ def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
     model = FNO1d(T_in=T_in, step=step, modes1=cfg["Modes"],
                   num_vars=cfg["Variables"], width_time=cfg["Width"])
     params = model.init(jax.random.PRNGKey(seed), a_all[tr][:1])
-    params = fit(model.apply, params, a_all[tr], u_all[tr],
+    train_apply = model.apply
+    if train_precision != "highest":
+        # bf16-MXU training; CP rollouts below keep the package HIGHEST
+        from ..models import with_matmul_precision
+
+        train_apply = with_matmul_precision(train_apply, train_precision)
+    params = fit(train_apply, params, a_all[tr], u_all[tr],
                  a_all[tr][-5:], u_all[tr][-5:], epochs=cfg["Epochs"],
                  batch_size=cfg["Batch Size"], step=step, T_out=T_out,
                  loss_func=lp_loss, lr=cfg["Learning Rate"],

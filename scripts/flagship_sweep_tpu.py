@@ -48,7 +48,7 @@ from cppre.experiments.mhd import run as run_mhd
 t0 = time.perf_counter()
 r = run_mhd("joint", config={"N": 64, "Epochs": 60, "Batch Size": 10,
                              "n_train": 100, "n_cal": 100, "n_pred": 100},
-            verbose=True)
+            verbose=True, train_precision="default")
 dump("/root/repo/results_mhd.json", "mhd_joint_induction", r,
      time.perf_counter() - t0)
 
@@ -58,7 +58,7 @@ from cppre.experiments.jorek import run as run_jorek
 t0 = time.perf_counter()
 r = run_jorek("joint", config={"Epochs": 60, "Batch Size": 10,
                                "n_train": 100, "n_cal": 100, "n_pred": 100},
-              verbose=True)
+              verbose=True, train_precision="default")
 dump("/root/repo/results_jorek.json", "jorek_joint_continuity", r,
      time.perf_counter() - t0)
 
@@ -68,7 +68,7 @@ from cppre.experiments.burgers import run as run_burgers
 t0 = time.perf_counter()
 r = run_burgers("joint", config={"Epochs": 100, "n_train": 100,
                                  "n_cal": 100, "n_pred": 100},
-                verbose=True)
+                verbose=True, train_precision="default")
 wall = time.perf_counter() - t0
 rec = {"config": r["config"], "mse": r["mse"],
        "alphas": np.asarray(r["alphas"]).tolist(),

@@ -52,7 +52,10 @@ CFG = {"Epochs": 60, "n_train": 200, "n_cal": 200, "n_pred": 100,
 EPS = 1e-6
 
 t0 = time.perf_counter()
-r = run("joint", config=CFG, verbose=True, eps=EPS, return_residuals=True)
+# bf16-MXU training (1.48x end-to-end A/B-validated, results_precision_ab
+# .json; CP rollouts keep HIGHEST — models/fno.py::precision_scope)
+r = run("joint", config=CFG, verbose=True, eps=EPS, return_residuals=True,
+        train_precision="default")
 wall = time.perf_counter() - t0
 
 # diagnostics: how close did the f32 modulation come to the inf/NaN cliff?
