@@ -83,7 +83,18 @@ def run_2d_cp(
             train_apply = make_fused_train_apply(model)
         else:
             train_apply = model.apply
-        if train_precision != "highest":
+        if train_precision == "bf16":
+            # bf16 activations + params for SGD only (f32 masters; the
+            # training forward is activation-HBM-bound, see BASELINE.md);
+            # the CP rollouts below keep the unwrapped f32 apply
+            if fused_train:
+                raise ValueError(
+                    "train_precision='bf16' needs the XLA training path "
+                    "(the fused Pallas kernels are f32); drop fused_train")
+            from ..models import with_activation_dtype
+
+            train_apply = with_activation_dtype(train_apply)
+        elif train_precision != "highest":
             # 1-pass bf16 MXU contractions for SGD only; the CP rollouts
             # below keep the package HIGHEST precision — exchangeability
             # constrains calibration/prediction, not training

@@ -62,7 +62,12 @@ def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
                   num_vars=cfg["Variables"], width_time=cfg["Width"])
     params = model.init(jax.random.PRNGKey(seed), a_all[tr][:1])
     train_apply = model.apply
-    if train_precision != "highest":
+    if train_precision == "bf16":
+        # bf16 activations for SGD; CP rollouts below keep the f32 apply
+        from ..models import with_activation_dtype
+
+        train_apply = with_activation_dtype(train_apply)
+    elif train_precision != "highest":
         # bf16-MXU training; CP rollouts below keep the package HIGHEST
         from ..models import with_matmul_precision
 

@@ -8,12 +8,14 @@ Base_FNO.py` — in idiomatic flax.linen with TPU-friendly spectral layers
 
 from .cae import ConvAutoencoder
 from .fno import (FNO1d, FNO2d, SpectralConv1d, SpectralConv2d,
-                  precision_scope, with_matmul_precision)
+                  activation_dtype_scope, precision_scope,
+                  with_activation_dtype, with_matmul_precision)
 from .fused import (fno2d_forward_fused, fused_supported, make_fused_apply,
                     make_fused_train_apply)
 from .inr import INR
 
 __all__ = ["FNO1d", "FNO2d", "SpectralConv1d", "SpectralConv2d",
-           "fno2d_forward_fused", "fused_supported", "make_fused_apply",
-           "make_fused_train_apply", "precision_scope",
-           "with_matmul_precision", "ConvAutoencoder", "INR"]
+           "activation_dtype_scope", "fno2d_forward_fused", "fused_supported",
+           "make_fused_apply", "make_fused_train_apply", "precision_scope",
+           "with_activation_dtype", "with_matmul_precision",
+           "ConvAutoencoder", "INR"]

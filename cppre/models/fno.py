@@ -108,10 +108,64 @@ def with_matmul_precision(apply_fn, precision):
     return wrapped
 
 
+# Optional trace-time activation dtype for TRAINING (None = native f32).
+# The training forward is activation-HBM-bound (BASELINE.md roofline: the
+# precision sweep moved the step <=18%, i.e. the MXU pass count no longer
+# binds — the ~105 MB width-32 activation tensors streamed several times per
+# block do). Storing those activations in bf16 halves the bound resource.
+# Like PRECISION, read at TRACE time by the spectral helpers below.
+ACT_DTYPE = None
+
+
+@contextmanager
+def activation_dtype_scope(dtype):
+    """Temporarily rebind the activation dtype the spectral helpers emit
+    (same trace-time mechanism as `precision_scope`)."""
+    global ACT_DTYPE
+    old = ACT_DTYPE
+    ACT_DTYPE = dtype
+    try:
+        yield
+    finally:
+        ACT_DTYPE = old
+
+
+def with_activation_dtype(apply_fn, dtype=jnp.bfloat16):
+    """Mixed-precision TRAINING apply: bf16 activations, f32 master params.
+
+    The f32 params are cast to `dtype` at the call boundary (the cast's
+    cotangent accumulates gradients back to f32 masters), the input is cast,
+    the whole forward runs — and under remat, recomputes — in `dtype`, and
+    the output is cast back to f32 for the loss. bf16 shares f32's exponent
+    range, so no loss scaling is needed.
+
+    TRAINING ONLY: calibration/prediction rollouts must keep the unwrapped
+    f32 apply — CP exchangeability constrains those (see PRECISION above),
+    and the physics residual is a near-cancellation that bf16 fields cannot
+    resolve (BASELINE.md "bf16 field storage"). SGD, by contrast, only sees
+    bf16 rounding as gradient noise far below the minibatch variance
+    (A/B: `scripts/train_precision_ab.py bf16act`).
+    """
+
+    def wrapped(params, *args, **kwargs):
+        cast = lambda w: w.astype(dtype) if w.dtype == jnp.float32 else w
+        p = jax.tree_util.tree_map(cast, params)
+        args = tuple(
+            a.astype(dtype)
+            if isinstance(a, jnp.ndarray) and a.dtype == jnp.float32 else a
+            for a in args)
+        with activation_dtype_scope(dtype):
+            out = apply_fn(p, *args, **kwargs)
+        return jax.tree_util.tree_map(
+            lambda o: o.astype(jnp.float32) if o.dtype == dtype else o, out)
+
+    return wrapped
+
+
 def _cmul(xr, xi, wr, wi, eq):
     """Complex einsum via 4 real einsums (returns re, im)."""
-    f32 = jnp.float32
-    kw = dict(preferred_element_type=f32, precision=PRECISION)
+    out_t = jnp.float32 if ACT_DTYPE is None else ACT_DTYPE
+    kw = dict(preferred_element_type=out_t, precision=PRECISION)
     re = jnp.einsum(eq, xr, wr, **kw) - jnp.einsum(eq, xi, wi, **kw)
     im = jnp.einsum(eq, xr, wi, **kw) + jnp.einsum(eq, xi, wr, **kw)
     return re, im
@@ -236,7 +290,8 @@ class SpectralConv2d(nn.Module):
         if use_dft:
             # exactly the low-kx and high-kx corner modes, via matmuls
             freqs = list(range(m1)) + list(range(nx - m1, nx))
-            cdt = x.dtype if x.dtype == jnp.float64 else jnp.float32
+            cdt = (x.dtype if x.dtype == jnp.float64 or ACT_DTYPE is not None
+                   else jnp.float32)
             yr, yi = _dft_fwd_y(x.astype(cdt), ny, m2)
             xr, xi = _dft_fwd_x(yr, yi, nx, freqs)
             lo_r, lo_i = _cmul(xr[..., :m1, :], xi[..., :m1, :], w1r, w1i, eq)
@@ -255,11 +310,15 @@ class SpectralConv2d(nn.Module):
         out_shape = (x.shape[0], self.out_channels, self.num_vars, nx, ny // 2 + 1)
         out_r = jnp.zeros(out_shape, jnp.float32)
         out_i = jnp.zeros(out_shape, jnp.float32)
+        lo_r, lo_i, hi_r, hi_i = (z.astype(jnp.float32)
+                                  for z in (lo_r, lo_i, hi_r, hi_i))
         out_r = out_r.at[..., :m1, :m2].set(lo_r).at[..., nx - m1 :, :m2].set(hi_r)
         out_i = out_i.at[..., :m1, :m2].set(lo_i).at[..., nx - m1 :, :m2].set(hi_i)
 
         out_ft = jax.lax.complex(out_r, out_i)
-        return jnp.fft.irfft2(out_ft, s=(nx, ny), axes=(-2, -1))
+        # the fft path computes in f32 (complex64); hand back the caller's
+        # activation dtype so a bf16 training scope stays bf16 downstream
+        return jnp.fft.irfft2(out_ft, s=(nx, ny), axes=(-2, -1)).astype(x.dtype)
 
 
 class SpectralConv1d(nn.Module):
@@ -283,7 +342,8 @@ class SpectralConv1d(nn.Module):
 
         eq = "bivx,iovx->bovx"
         if self.spectral_impl == "dft" and m1 <= nx // 2 + 1:
-            cdt = x.dtype if x.dtype == jnp.float64 else jnp.float32
+            cdt = (x.dtype if x.dtype == jnp.float64 or ACT_DTYPE is not None
+                   else jnp.float32)
             xr, xi = _dft_fwd_y(x.astype(cdt), nx, m1)
             lo_r, lo_i = _cmul(xr, xi, wr, wi, eq)
             return _dft_inv_y(lo_r, lo_i, nx, m1) / nx
@@ -293,9 +353,10 @@ class SpectralConv1d(nn.Module):
         lo_r, lo_i = _cmul(xr[..., :m1], xi[..., :m1], wr, wi, eq)
 
         out_shape = (x.shape[0], self.out_channels, self.num_vars, nx // 2 + 1)
-        out_r = jnp.zeros(out_shape, jnp.float32).at[..., :m1].set(lo_r)
-        out_i = jnp.zeros(out_shape, jnp.float32).at[..., :m1].set(lo_i)
-        return jnp.fft.irfft(jax.lax.complex(out_r, out_i), n=nx, axis=-1)
+        out_r = jnp.zeros(out_shape, jnp.float32).at[..., :m1].set(lo_r.astype(jnp.float32))
+        out_i = jnp.zeros(out_shape, jnp.float32).at[..., :m1].set(lo_i.astype(jnp.float32))
+        return jnp.fft.irfft(jax.lax.complex(out_r, out_i), n=nx,
+                             axis=-1).astype(x.dtype)
 
 
 class _ChannelMLP(nn.Module):
@@ -396,7 +457,9 @@ class FNO2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        grid = self.get_grid(x.shape)
+        # grid in the activation dtype, else the concat/bias adds would
+        # silently promote every block back to f32 under a bf16 scope
+        grid = self.get_grid(x.shape).astype(x.dtype)
         x = jnp.concatenate((x, grid), axis=-1)
         x = nn.Dense(self.width_time, name="fc0_time", precision=PRECISION)(x)
         drop = (lambda z: nn.Dropout(self.dropout_rate)(z, deterministic=deterministic)) \
@@ -448,7 +511,7 @@ class FNO1d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        grid = self.get_grid(x.shape)
+        grid = self.get_grid(x.shape).astype(x.dtype)
         x = jnp.concatenate((x, grid), axis=-1)
         x = nn.Dense(self.width_time, name="fc0_time", precision=PRECISION)(x)
         x = jnp.transpose(x, (0, 3, 1, 2))  # [B, W, V, Nx]

@@ -8,7 +8,11 @@ wall, rollout MSE, and joint coverage at the 0.95 level; the decision
 rule for flipping the flagship default is MSE within ~20% and coverage
 within the binomial band.
 
-Run from /root/repo:  timeout 3600 python scripts/train_precision_ab.py
+A third arm, `bf16` (train_precision="bf16": bf16 activations + params
+with f32 masters, models/fno.py::with_activation_dtype), targets the
+activation-HBM bound the matmul knob cannot reach. Same decision rule.
+
+Run from /root/repo:  timeout 5400 python scripts/train_precision_ab.py
 """
 
 import json
@@ -32,7 +36,7 @@ CFG = {"Epochs": 60, "n_train": 100, "n_cal": 100, "n_pred": 100,
 EPS = 1e-6
 
 out = {}
-for arm in ("highest", "default"):
+for arm in ("highest", "default", "bf16"):
     t0 = time.perf_counter()
     r = run("joint", config=CFG, seed=0, verbose=False, eps=EPS,
             train_precision=arm)
@@ -45,7 +49,8 @@ for arm in ("highest", "default"):
     print(f"{arm:8s}: train {r['train_time']:.0f}s  total {wall:.0f}s  "
           f"mse {r['mse']:.3e}  cov95(holdout) {cov95:.2f}", flush=True)
 
-sp = out["highest"]["train_s"] / out["default"]["train_s"]
-print(f"training speedup (highest/default): {sp:.2f}x", flush=True)
+for arm in ("default", "bf16"):
+    sp = out["highest"]["train_s"] / out[arm]["train_s"]
+    print(f"training speedup (highest/{arm}): {sp:.2f}x", flush=True)
 with open("/root/repo/results_precision_ab.json", "w") as f:
     json.dump(out, f, indent=1)

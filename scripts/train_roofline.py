@@ -29,7 +29,7 @@ PEAK_BF16 = 197e12
 def main(fused: bool = False, remat: bool = True,
          bwd_impl: str = "pallas", precision: str = "highest"):
     from cppre.models import (FNO2d, make_fused_train_apply,
-                              with_matmul_precision)
+                              with_activation_dtype, with_matmul_precision)
     from cppre.train.loops import make_optimizer, make_train_step
     from cppre.train.losses import lp_loss
 
@@ -47,7 +47,12 @@ def main(fused: bool = False, remat: bool = True,
     opt_state = tx.init(params)
     apply_fn = (make_fused_train_apply(model, bwd_impl=bwd_impl)
                 if fused else model.apply)
-    if precision != "highest":
+    if precision == "bf16act":
+        # bf16 activations + params (f32 masters): halves the activation
+        # HBM traffic the training forward is bound by (models/fno.py::
+        # with_activation_dtype); implies 1-pass bf16 MXU contractions
+        apply_fn = with_activation_dtype(apply_fn)
+    elif precision != "highest":
         # train-time matmul precision knob: default-bf16 MXU passes are
         # ~6x cheaper than HIGHEST; CP exchangeability only constrains the
         # calibration/prediction rollouts, not SGD (models/fno.py scope)
@@ -101,6 +106,9 @@ if __name__ == "__main__":
     #   python scripts/train_roofline.py fused xlabwd -> fused fwd, XLA bwd
     #   python scripts/train_roofline.py bf16     -> train-time DEFAULT
     #   matmul precision (1-pass bf16 MXU; CP rollouts stay HIGHEST)
+    #   python scripts/train_roofline.py bf16act  -> bf16 activations +
+    #   params (f32 masters) — halves the activation HBM traffic
     main(fused="fused" in sys.argv[1:], remat="noremat" not in sys.argv[1:],
          bwd_impl="xla" if "xlabwd" in sys.argv[1:] else "pallas",
-         precision="default" if "bf16" in sys.argv[1:] else "highest")
+         precision="bf16act" if "bf16act" in sys.argv[1:]
+         else "default" if "bf16" in sys.argv[1:] else "highest")
