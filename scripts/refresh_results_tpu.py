@@ -15,7 +15,8 @@ stop later stages (the tunnel can die mid-campaign); the summary line per
 stage makes partial progress visible. Total budget ~3 h.
 
 Run from /root/repo:  python scripts/refresh_results_tpu.py [--quick]
-(--quick stops after stage 3.)
+(--quick stops after stage 3; --from NAME resumes a killed campaign at the
+named stage, keeping the fail-fast probe first.)
 """
 
 import subprocess
@@ -37,6 +38,13 @@ STAGES = [
      ["python", "scripts/train_roofline.py", "fused", "xlabwd"], 1800),
     ("train_roofline_fused_noremat",
      ["python", "scripts/train_roofline.py", "fused", "noremat"], 1800),
+    ("train_roofline_bf16",
+     ["python", "scripts/train_roofline.py", "bf16"], 1800),
+    ("train_roofline_bf16act",
+     ["python", "scripts/train_roofline.py", "bf16act"], 1800),
+    # 3-arm wave A/B (highest / default-matmul / bf16-activation): the
+    # accept/reject evidence for the flagship train_precision default
+    ("precision_ab", ["python", "scripts/train_precision_ab.py"], 5400),
     ("ns_flagship", ["python", "scripts/ns_flagship_tpu.py"], 5400),
     ("mhd_jorek_burgers", ["python", "scripts/flagship_sweep_tpu.py"], 5400),
     ("wave_flagship", ["python", "scripts/wave_flagship_tpu.py"], 5400),
@@ -49,8 +57,19 @@ STAGES = [
 
 def main():
     quick = "--quick" in sys.argv
+    start = None
+    if "--from" in sys.argv:
+        start = sys.argv[sys.argv.index("--from") + 1]
+        if start not in {n for n, _, _ in STAGES}:
+            print(f"unknown stage {start!r}")
+            return 1
+    started = start is None
     results = {}
     for name, cmd, budget in STAGES:
+        if not started:
+            started = name == start
+            if not started and name != "probe":  # always keep the probe
+                continue
         if quick and name == "ns_flagship":
             break
         t0 = time.perf_counter()
