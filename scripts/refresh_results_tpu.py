@@ -16,12 +16,17 @@ stage makes partial progress visible. Total budget ~3 h.
 
 Run from /root/repo:  python scripts/refresh_results_tpu.py [--quick]
 (--quick stops after stage 3; --from NAME resumes a killed campaign at the
-named stage, keeping the fail-fast probe first.)
+named stage, keeping the fail-fast probe first; --resume skips stages a
+prior invocation already completed — recorded in /tmp/refresh_stages_done
+— so a flapping tunnel only costs the stage it interrupted.)
 """
 
+import os
 import subprocess
 import sys
 import time
+
+STATE_PATH = "/tmp/refresh_stages_done"
 
 STAGES = [
     ("probe", ["python", "-c",
@@ -63,6 +68,9 @@ def main():
         if start not in {n for n, _, _ in STAGES}:
             print(f"unknown stage {start!r}")
             return 1
+    done = set()
+    if "--resume" in sys.argv and os.path.exists(STATE_PATH):
+        done = set(open(STATE_PATH).read().split())
     started = start is None
     results = {}
     for name, cmd, budget in STAGES:
@@ -72,6 +80,9 @@ def main():
                 continue
         if quick and name == "ns_flagship":
             break
+        if name in done and name != "probe":
+            print(f"[skip] {name:18s} (done in a prior invocation)")
+            continue
         t0 = time.perf_counter()
         try:
             proc = subprocess.run(cmd, cwd="/root/repo", timeout=budget,
@@ -82,9 +93,12 @@ def main():
             ok, tail = False, ["TIMEOUT"]
         wall = time.perf_counter() - t0
         results[name] = ok
-        print(f"[{'ok' if ok else 'FAIL'}] {name:18s} {wall:7.1f}s")
+        print(f"[{'ok' if ok else 'FAIL'}] {name:18s} {wall:7.1f}s", flush=True)
         for line in tail:
             print(f"       {line}")
+        if ok and name != "probe":
+            with open(STATE_PATH, "a") as f:
+                f.write(name + "\n")
         if name == "probe" and not ok:
             print("tunnel down — aborting refresh")
             return 1
