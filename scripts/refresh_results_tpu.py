@@ -54,9 +54,12 @@ STAGES = [
     ("mhd_jorek_burgers", ["python", "scripts/flagship_sweep_tpu.py"], 5400),
     ("wave_flagship", ["python", "scripts/wave_flagship_tpu.py"], 5400),
     ("al_advection", ["python", "scripts/al_advection_tpu.py"], 5400),
-    # last: the reference-scale Wave UQ protocol (10 resamples x 150 sims,
-    # VERDICT r2 item 6) — longest stage, failures don't block anything
+    # last: the reference-scale UQ protocols (10 resamples x 150 sims,
+    # VERDICT r2 item 6) — longest stages, failures don't block anything;
+    # NS/MHD are opportunistic upgrades of the 5x50 round-2 runs
     ("uq_wave", ["python", "scripts/uq_family_tpu.py", "Wave"], 12000),
+    ("uq_ns", ["python", "scripts/uq_family_tpu.py", "Navier-Stokes"], 12000),
+    ("uq_mhd", ["python", "scripts/uq_family_tpu.py", "MHD"], 12000),
 ]
 
 

@@ -38,6 +38,22 @@ FAMILY_OVERRIDES = {
         "n_eval": 150,
         "samples": 10,
     },
+    # same raised protocol for the other two families (round 3: the 5x50
+    # runs are superseded whenever these complete on chip)
+    "Navier-Stokes": {
+        "n_total": 210,
+        "n_train_eval": 60,
+        "runs": 10,
+        "n_eval": 150,
+        "samples": 10,
+    },
+    "MHD": {
+        "n_total": 210,
+        "n_train_eval": 60,
+        "runs": 10,
+        "n_eval": 150,
+        "samples": 10,
+    },
 }
 
 
