@@ -31,7 +31,7 @@ STATE_PATH = "/tmp/refresh_stages_done"
 STAGES = [
     ("probe", ["python", "-c",
                "import jax,jax.numpy as jnp;print(float(jnp.sum(jnp.ones((8,8)))))"],
-     120),
+     240),
     ("kernel_check", ["python", "scripts/tpu_kernel_check.py"], 1200),
     ("bench", ["python", "bench.py"], 1800),
     ("scaling", ["python", "scripts/bench_scaling.py"], 3000),
