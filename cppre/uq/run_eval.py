@@ -31,7 +31,8 @@ _CASES = {"Wave": data_loaders.load_wave, "Navier-Stokes": data_loaders.load_ns,
           "MHD": data_loaders.load_mhd}
 
 
-def _fit_generic(model, a, u, cfg, train_step_factory, seed=0, rngs_per_step=False):
+def _fit_generic(model, a, u, cfg, train_step_factory, seed=0, rngs_per_step=False,
+                 apply_fn=None):
     import optax
 
     T_out, step = cfg["T_out"], cfg["Step"]
@@ -41,7 +42,7 @@ def _fit_generic(model, a, u, cfg, train_step_factory, seed=0, rngs_per_step=Fal
     init_rngs = {"params": jax.random.PRNGKey(seed), "bayes": jax.random.PRNGKey(seed + 1)}
     params = model.init(init_rngs, a[:1])
     opt_state = tx.init(params)
-    train_step = train_step_factory(model.apply, tx, step, T_out)
+    train_step = train_step_factory(apply_fn or model.apply, tx, step, T_out)
     key = jax.random.PRNGKey(seed)
     for ep in range(cfg["Epochs"]):
         key, sub = jax.random.split(key)
@@ -81,13 +82,27 @@ def run(case: str = "Wave", config_path: str | None = None,
     base_cfg = dict(cfg)
     run_names = cfg.get("Runs") or {}
 
+    # TRAINING-only matmul precision (reference protocol trains in torch f32;
+    # 'default' = 1-pass bf16 MXU contractions, A/B-validated on the flagship
+    # pipelines — BASELINE.md "Train-time matmul precision"). EVALUATION
+    # always uses the unwrapped f32-HIGHEST apply: the CP methods (AER/PRE)
+    # calibrate on eval rollouts, where exchangeability binds.
+    train_prec = cfg.get("Train Precision", "highest")
+
+    def _train_apply(model):
+        if train_prec == "highest":
+            return model.apply
+        from ..models import with_matmul_precision
+
+        return with_matmul_precision(model.apply, train_prec)
+
     _cache = {}
 
     def _base_params():
         if "base" not in _cache:
             model = FNO2d(**kw)
             p0 = model.init(jax.random.PRNGKey(seed), tr_a[:1])
-            _cache["base"] = fit(model.apply, p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
+            _cache["base"] = fit(_train_apply(model), p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
                                  epochs=cfg["Epochs"], batch_size=min(cfg["Batch Size"], n_train),
                                  step=step, T_out=T_out, loss_func=lp_loss,
                                  lr=cfg["Learning Rate"], seed=seed)
@@ -115,7 +130,7 @@ def run(case: str = "Wave", config_path: str | None = None,
         if uq == "Dropout":
             model = make_dropout_fno(**kw)
             p0 = model.init({"params": jax.random.PRNGKey(seed)}, tr_a[:1])
-            params = fit(model.apply, p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
+            params = fit(_train_apply(model), p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
                          epochs=cfg["Epochs"], batch_size=min(cfg["Batch Size"], n_train),
                          step=step, T_out=T_out, loss_func=lp_loss,
                          lr=cfg["Learning Rate"], seed=seed)
@@ -123,18 +138,20 @@ def run(case: str = "Wave", config_path: str | None = None,
         if uq == "Bayesian":
             model = FNO2dBayesian(**kw)
             params = _fit_generic(model, tr_a, tr_u, cfg, make_bayesian_train_step,
-                                  seed, rngs_per_step=True)
+                                  seed, rngs_per_step=True,
+                                  apply_fn=_train_apply(model))
             return model, params
         if uq == "MLE":
             model = make_mle_fno(**kw)
-            params = _fit_generic(model, tr_a, tr_u, cfg, make_mle_train_step, seed)
+            params = _fit_generic(model, tr_a, tr_u, cfg, make_mle_train_step, seed,
+                                  apply_fn=_train_apply(model))
             return model, params
         if uq == "Ensemble":
             model = FNO2d(**kw)
             members = []
             for s in range(cfg.get("n_ensemble", 5)):
                 p0 = model.init(jax.random.PRNGKey(seed + 100 + s), tr_a[:1])
-                members.append(fit(model.apply, p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
+                members.append(fit(_train_apply(model), p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
                                    epochs=cfg["Epochs"],
                                    batch_size=min(cfg["Batch Size"], n_train),
                                    step=step, T_out=T_out, loss_func=lp_loss,
@@ -143,7 +160,7 @@ def run(case: str = "Wave", config_path: str | None = None,
         if uq == "SWAG":
             model = FNO2d(**kw)
             p0 = model.init(jax.random.PRNGKey(seed), tr_a[:1])
-            swag = fit_swag(model.apply, p0, tr_a, tr_u, epochs=cfg["Epochs"],
+            swag = fit_swag(_train_apply(model), p0, tr_a, tr_u, epochs=cfg["Epochs"],
                             batch_size=min(cfg["Batch Size"], n_train), step=step,
                             T_out=T_out, loss_func=lp_loss,
                             lr=cfg["Learning Rate"], seed=seed)

@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 OVERRIDES = {
+    "Train Precision": "default",  # bf16 MXU training; eval stays HIGHEST
     "Epochs": 60,
     "n_total": 120,
     "runs": 5,       # bootstrap resamples (reference: 10 x 300 sims)

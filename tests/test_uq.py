@@ -140,3 +140,29 @@ def test_eval_harness_smoke():
     assert set(res) == {"Deterministic", "Ensemble", "AER", "PRE"}
     for r in res.values():
         assert np.isfinite(r["l2"][0])
+
+
+def test_run_eval_end_to_end_with_train_precision():
+    """`run_eval.run` trains + evaluates with the `Train Precision` knob:
+    the training applies are wrapped (bf16 MXU contractions on TPU; a no-op
+    numerically on CPU where every precision is f32) while evaluation uses
+    the unwrapped HIGHEST apply. Tiny config: 2 methods, 1 epoch."""
+    from cppre.uq.run_eval import run
+
+    res = run("Wave", overrides={
+        "UQ": ["Deterministic", "PRE", "MLE"],
+        "Train Precision": "default",
+        "Epochs": 1,
+        "n_total": 6,
+        "n_train_eval": 3,
+        "runs": 1,
+        "n_eval": 2,
+        "samples": 1,
+        "Batch Size": 3,
+        "T_out": 4,
+        "Modes": 4,
+        "Width_time": 8,
+    }, verbose=False)
+    assert set(res) == {"Deterministic", "PRE", "MLE"}
+    for r in res.values():
+        assert np.isfinite(r["l2"][0])
