@@ -41,12 +41,19 @@ def evaluate_uq_methods(
     pre=None,
     seed: int = 0,
     verbose: bool = True,
+    on_method_done: Callable[[str, dict], None] | None = None,
 ) -> Dict[str, dict]:
     """Returns {method: {l2, coverage, joint_coverage, eval_time: (mean, std)}}.
 
     `model_factory(uq)` returns (model, aux) where aux is params
     (Deterministic/Dropout/Bayesian/MLE/AER/PRE), a list of params
     (Ensemble), or a SWAG instance (SWAG).
+
+    `on_method_done(uq, result)` fires after each method's resample loop
+    completes, so long protocols (hours of per-method training on the
+    remote chip) can bank partial results: a killed run keeps every
+    finished method (reference protocol trains per-method sequentially
+    too, `Other_UQ/Evaluation/Eval.py:107-259`).
     """
     rng = np.random.default_rng(seed)
     results = {}
@@ -124,4 +131,6 @@ def evaluate_uq_methods(
             print(f"{uq:14s} L2 {r['l2'][0]:.3e}±{r['l2'][1]:.1e}  "
                   f"cov {r['coverage'][0]:.3f}±{r['coverage'][1]:.3f}  "
                   f"t {r['eval_time'][0]:.2f}s±{r['eval_time'][1]:.2f}")
+        if on_method_done is not None:
+            on_method_done(uq, results[uq])
     return results

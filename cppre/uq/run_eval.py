@@ -58,7 +58,8 @@ def _fit_generic(model, a, u, cfg, train_step_factory, seed=0, rngs_per_step=Fal
 
 
 def run(case: str = "Wave", config_path: str | None = None,
-        overrides: dict | None = None, verbose: bool = True):
+        overrides: dict | None = None, verbose: bool = True,
+        on_method_done=None):
     cfg_file = config_path or os.path.join(
         os.path.dirname(__file__), "configs", f"{'NS' if case == 'Navier-Stokes' else case}_FNO.yaml")
     cfg = load_config(cfg_file)
@@ -172,7 +173,7 @@ def run(case: str = "Wave", config_path: str | None = None,
         test_a=te_a, test_u=te_u, step=step, T_out=T_out,
         alpha=cfg.get("alpha", 0.1), samples=cfg.get("samples", 10),
         runs=cfg.get("runs", 10), n_eval=cfg.get("n_eval", 300),
-        pre=pre, seed=seed, verbose=verbose,
+        pre=pre, seed=seed, verbose=verbose, on_method_done=on_method_done,
     )
 
 

@@ -58,26 +58,47 @@ FAMILY_OVERRIDES = {
 }
 
 
-def main(case: str = "Navier-Stokes"):
-    from cppre.uq.run_eval import run
+PATH_ = "/root/repo/results_uq.json"
 
-    overrides = dict(OVERRIDES, **FAMILY_OVERRIDES.get(case, {}))
-    t0 = time.perf_counter()
-    res = run(case, overrides=overrides, verbose=True)
-    res["_wall_s"] = time.perf_counter() - t0
-    res["_protocol"] = dict(overrides)
 
-    path = "/root/repo/results_uq.json"
-    existing = json.load(open(path)) if os.path.exists(path) else {}
+def _load_existing():
+    existing = json.load(open(PATH_)) if os.path.exists(PATH_) else {}
     if "Wave" not in existing and "Deterministic" in existing:
         # migrate the round-1 flat (Wave-only) layout to per-family
         existing = {"Wave": existing}
         existing["Wave"]["_protocol"] = {
             "Epochs": 60, "n_total": 120, "runs": 5, "n_eval": 50,
             "samples": 5, "note": "round-1 run, see RESULTS.md"}
+    return existing
+
+
+def main(case: str = "Navier-Stokes"):
+    from cppre.uq.run_eval import run
+
+    overrides = dict(OVERRIDES, **FAMILY_OVERRIDES.get(case, {}))
+    t0 = time.perf_counter()
+
+    partial = {"_protocol": dict(overrides, _partial=True)}
+
+    def bank(uq, result):
+        """Per-method incremental save: a stage killed mid-protocol (tunnel
+        flap, round end) keeps every completed method. The superseded
+        family entry is only replaced once the first method lands."""
+        partial[uq] = result
+        partial["_wall_s"] = time.perf_counter() - t0
+        existing = _load_existing()
+        existing[case] = dict(partial)
+        json.dump(existing, open(PATH_, "w"), indent=1)
+        print(f"banked {uq} -> {PATH_}", flush=True)
+
+    res = run(case, overrides=overrides, verbose=True, on_method_done=bank)
+    res["_wall_s"] = time.perf_counter() - t0
+    res["_protocol"] = dict(overrides)
+
+    existing = _load_existing()
     existing[case] = res
-    json.dump(existing, open(path, "w"), indent=1)
-    print("wrote", path, flush=True)
+    json.dump(existing, open(PATH_, "w"), indent=1)
+    print("wrote", PATH_, flush=True)
     for m, r in res.items():
         if isinstance(r, dict) and "l2" in r:
             print(f"{m:14s} l2 {r['l2'][0]:.3e}+-{r['l2'][1]:.1e}  "

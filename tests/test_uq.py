@@ -133,13 +133,18 @@ def test_eval_harness_smoke():
             return base, [p, p]
         return base, p
 
+    banked = []
     res = evaluate_uq_methods(
         methods=["Deterministic", "Ensemble", "AER", "PRE"],
         model_factory=factory, test_a=a, test_u=u, step=1, T_out=4,
-        runs=2, n_eval=3, samples=2, pre=_Wrap(), verbose=False)
+        runs=2, n_eval=3, samples=2, pre=_Wrap(), verbose=False,
+        on_method_done=lambda uq, r: banked.append((uq, r)))
     assert set(res) == {"Deterministic", "Ensemble", "AER", "PRE"}
     for r in res.values():
         assert np.isfinite(r["l2"][0])
+    # incremental banking fires once per method, in order, with the final dict
+    assert [uq for uq, _ in banked] == ["Deterministic", "Ensemble", "AER", "PRE"]
+    assert banked[-1][1] == res["PRE"]
 
 
 def test_run_eval_end_to_end_with_train_precision():
