@@ -66,17 +66,9 @@ dump("/root/repo/results_jorek.json", "jorek_joint_continuity", r,
 from cppre.experiments.burgers import run as run_burgers
 
 t0 = time.perf_counter()
-r = run_burgers("joint", config={"Epochs": 100, "n_train": 100,
+r = run_burgers("joint", config={"Epochs": 200, "n_train": 100,
                                  "n_cal": 100, "n_pred": 100},
                 verbose=True, train_precision="default")
-wall = time.perf_counter() - t0
-rec = {"config": r["config"], "mse": r["mse"],
-       "alphas": np.asarray(r["alphas"]).tolist(),
-       "coverage_aer_pre": np.asarray(r["coverage_aer_pre"]).tolist(),
-       "coverage_pre": np.asarray(r["coverage_pre"]).tolist(),
-       "wall_s": wall}
-with open("/root/repo/results_burgers.json", "w") as f:
-    json.dump({"burgers_joint": rec}, f, indent=1)
-print(f"burgers_joint: ref@95={rec['coverage_aer_pre'][0]:.2f} "
-      f"mse={rec['mse']:.2e} wall={wall:.0f}s", flush=True)
+dump("/root/repo/results_burgers.json", "burgers_joint", r,
+     time.perf_counter() - t0)
 print("SWEEP DONE", flush=True)
