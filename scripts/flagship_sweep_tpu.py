@@ -4,6 +4,7 @@ path + holdout columns), JOREK (synthetic multi-blob family), Burgers 1-D.
 Writes results_mhd.json / results_jorek.json / results_burgers.json.
 
 Run from /root/repo:  timeout 5400 python scripts/flagship_sweep_tpu.py
+Optionally name the legs to run:  ... flagship_sweep_tpu.py burgers
 """
 
 import json
@@ -15,6 +16,9 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+LEGS = {a for a in sys.argv[1:] if a in {"mhd", "jorek", "burgers"}} \
+    or {"mhd", "jorek", "burgers"}
 
 t0 = time.perf_counter()
 float(jnp.sum(jnp.ones((8, 8))))
@@ -43,32 +47,37 @@ def dump(path, key, r, wall, extra=None):
 
 
 # --- MHD (BASELINE #5a): fused induction, 64^2, 100/100/100 ---------------
-from cppre.experiments.mhd import run as run_mhd
+if "mhd" in LEGS:
+    from cppre.experiments.mhd import run as run_mhd
 
-t0 = time.perf_counter()
-r = run_mhd("joint", config={"N": 64, "Epochs": 60, "Batch Size": 10,
-                             "n_train": 100, "n_cal": 100, "n_pred": 100},
-            verbose=True, train_precision="default")
-dump("/root/repo/results_mhd.json", "mhd_joint_induction", r,
-     time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    r = run_mhd("joint", config={"N": 64, "Epochs": 60, "Batch Size": 10,
+                                 "n_train": 100, "n_cal": 100,
+                                 "n_pred": 100},
+                verbose=True, train_precision="default")
+    dump("/root/repo/results_mhd.json", "mhd_joint_induction", r,
+         time.perf_counter() - t0)
 
 # --- JOREK (BASELINE #5b): synthetic multi-blob family --------------------
-from cppre.experiments.jorek import run as run_jorek
+if "jorek" in LEGS:
+    from cppre.experiments.jorek import run as run_jorek
 
-t0 = time.perf_counter()
-r = run_jorek("joint", config={"Epochs": 60, "Batch Size": 10,
-                               "n_train": 100, "n_cal": 100, "n_pred": 100},
-              verbose=True, train_precision="default")
-dump("/root/repo/results_jorek.json", "jorek_joint_continuity", r,
-     time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    r = run_jorek("joint", config={"Epochs": 60, "Batch Size": 10,
+                                   "n_train": 100, "n_cal": 100,
+                                   "n_pred": 100},
+                  verbose=True, train_precision="default")
+    dump("/root/repo/results_jorek.json", "jorek_joint_continuity", r,
+         time.perf_counter() - t0)
 
 # --- Burgers 1-D (BASELINE #2): multi-kernel residual ---------------------
-from cppre.experiments.burgers import run as run_burgers
+if "burgers" in LEGS:
+    from cppre.experiments.burgers import run as run_burgers
 
-t0 = time.perf_counter()
-r = run_burgers("joint", config={"Epochs": 200, "n_train": 100,
-                                 "n_cal": 100, "n_pred": 100},
-                verbose=True, train_precision="default")
-dump("/root/repo/results_burgers.json", "burgers_joint", r,
-     time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    r = run_burgers("joint", config={"Epochs": 200, "n_train": 100,
+                                     "n_cal": 100, "n_pred": 100},
+                    verbose=True, train_precision="default")
+    dump("/root/repo/results_burgers.json", "burgers_joint", r,
+         time.perf_counter() - t0)
 print("SWEEP DONE", flush=True)
