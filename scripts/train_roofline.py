@@ -27,21 +27,22 @@ PEAK_BF16 = 197e12
 
 
 def main(fused: bool = False, remat: bool = True,
-         bwd_impl: str = "pallas", precision: str = "highest"):
+         bwd_impl: str = "pallas", precision: str = "highest",
+         width: int = 32):
     from cppre.models import (FNO2d, make_fused_train_apply,
                               with_activation_dtype, with_matmul_precision)
     from cppre.train.loops import make_optimizer, make_train_step
     from cppre.train.losses import lp_loss
 
     print(f"backend: {jax.default_backend()}  fused={fused}  remat={remat}"
-          f"  bwd={bwd_impl if fused else 'n/a'}  precision={precision}",
-          flush=True)
+          f"  bwd={bwd_impl if fused else 'n/a'}  precision={precision}"
+          f"  width={width}", flush=True)
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((BATCH, NVAR, NX, NY, T_IN)), jnp.float32)
     u = jnp.asarray(rng.standard_normal((BATCH, NVAR, NX, NY, T_OUT)), jnp.float32)
 
     model = FNO2d(T_in=T_IN, step=STEP, modes1=16, modes2=16, num_vars=NVAR,
-                  width_time=32)
+                  width_time=width)
     params = model.init(jax.random.PRNGKey(0), a)
     tx = make_optimizer(5e-3)
     opt_state = tx.init(params)
@@ -108,7 +109,11 @@ if __name__ == "__main__":
     #   matmul precision (1-pass bf16 MXU; CP rollouts stay HIGHEST)
     #   python scripts/train_roofline.py bf16act  -> bf16 activations +
     #   params (f32 masters) — halves the activation HBM traffic
+    #   python scripts/train_roofline.py wide [bf16] -> width_time=128
+    #   (production scale): substantiates the BASELINE claim that the low
+    #   TFLOP/s at width 32 is MXU tile occupancy, not scheduling waste
     main(fused="fused" in sys.argv[1:], remat="noremat" not in sys.argv[1:],
          bwd_impl="xla" if "xlabwd" in sys.argv[1:] else "pallas",
          precision="bf16act" if "bf16act" in sys.argv[1:]
-         else "default" if "bf16" in sys.argv[1:] else "highest")
+         else "default" if "bf16" in sys.argv[1:] else "highest",
+         width=128 if "wide" in sys.argv[1:] else 32)
