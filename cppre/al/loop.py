@@ -44,11 +44,27 @@ def active_learning_loop(
     lr: float = 1e-3,
     seed: int = 0,
     verbose: bool = True,
+    train_precision: str = "highest",    # fine-tune fits only; rollouts stay f32
 ):
     """Returns (params, test_mse_history, sims_sampled_history)."""
     from ..train.losses import mse as mse_loss
 
     loss_func = loss_func or mse_loss
+    # Precision applies to the fine-tuning fits only: the acquisition
+    # rollouts and residuals keep the unwrapped f32 apply — the PRE is a
+    # near-cancellation bf16 cannot resolve (BASELINE.md "bf16 field
+    # storage"), and CP acquisition scores must stay exchangeable with the
+    # f32 calibration scores.
+    if train_precision == "bf16":
+        from ..models import with_activation_dtype
+
+        train_apply = with_activation_dtype(model.apply)
+    elif train_precision != "highest":
+        from ..models import with_matmul_precision
+
+        train_apply = with_matmul_precision(model.apply, train_precision)
+    else:
+        train_apply = model.apply
     test_mse, sims_sampled = [], []
     apply_fn = lambda x: model.apply(params, x)
     _, mse0, _ = validation_AR(apply_fn, test_a, test_u, step, T_out)
@@ -88,7 +104,7 @@ def active_learning_loop(
         train_a = jnp.concatenate((train_a, new_a))
         train_u = jnp.concatenate((train_u, new_u))
 
-        params = fit(model.apply, params, train_a, train_u,
+        params = fit(train_apply, params, train_a, train_u,
                      test_a[:5], test_u[:5], epochs=epochs,
                      batch_size=batch_size, step=step, T_out=T_out,
                      loss_func=loss_func, lr=lr, seed=seed + ii)

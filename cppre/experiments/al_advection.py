@@ -29,7 +29,7 @@ AL_CONFIG = dict(CONFIG, n_iterations=5, alpha=0.5, n_pred=100)
 
 
 def run(acq: str = "all", config: dict | None = None, seed: int = 0,
-        verbose: bool = True):
+        verbose: bool = True, train_precision: str = "highest"):
     cfg = dict(AL_CONFIG, **(config or {}))
     T_in, T_out, step = cfg["T_in"], cfg["T_out"], cfg["Step"]
     sim = Advection1D(cfg["Nx"], cfg["Nt"], cfg["x_min"], cfg["x_max"], cfg["t_end"])
@@ -41,8 +41,20 @@ def run(acq: str = "all", config: dict | None = None, seed: int = 0,
 
     model = FNO1d(T_in=T_in, step=step, modes1=cfg["Modes"],
                   num_vars=cfg["Variables"], width_time=cfg["Width"])
+    # pretrain at the same precision the AL fine-tune fits will use
+    # (rollouts/residuals below stay on the unwrapped f32 apply)
+    if train_precision == "bf16":
+        from ..models import with_activation_dtype
+
+        train_apply = with_activation_dtype(model.apply)
+    elif train_precision != "highest":
+        from ..models import with_matmul_precision
+
+        train_apply = with_matmul_precision(model.apply, train_precision)
+    else:
+        train_apply = model.apply
     params0 = model.init(jax.random.PRNGKey(seed), train_a)
-    params0 = fit(model.apply, params0, train_a, train_u, test_a[:10], test_u[:10],
+    params0 = fit(train_apply, params0, train_a, train_u, test_a[:10], test_u[:10],
                   epochs=cfg["Epochs"], batch_size=cfg["Batch Size"], step=step,
                   T_out=T_out, loss_func=mse_loss, lr=cfg["Learning Rate"],
                   seed=seed, verbose=False)
@@ -67,7 +79,8 @@ def run(acq: str = "all", config: dict | None = None, seed: int = 0,
             n_iterations=cfg["n_iterations"], n_pred=cfg["n_pred"],
             alpha=cfg["alpha"], epochs=cfg["Epochs"],
             batch_size=cfg["Batch Size"], step=step, T_out=T_out,
-            lr=1e-3, seed=seed, verbose=verbose)
+            lr=1e-3, seed=seed, verbose=verbose,
+            train_precision=train_precision)
         results[f] = {"test_mse": mse_hist, "sims_sampled": sampled}
         if verbose:
             print(f"{f}: MSE {['%.4g' % m for m in mse_hist]}, sampled {sampled}")

@@ -37,7 +37,11 @@ REFERENCE = {  # Active_Learning/Advection_AL_Joint.py:387-391,434-438
 }
 
 t0 = time.perf_counter()
-r = run("all", config={"n_train": 20, "Epochs": 50}, verbose=True)
+# bf16-activation training for the pretrain + fine-tune fits (A/B-validated,
+# BASELINE.md "Train-time precision ladder"); acquisition rollouts and CP
+# scores stay on the unwrapped f32 apply inside the loop
+r = run("all", config={"n_train": 20, "Epochs": 50}, verbose=True,
+        train_precision="bf16")
 wall = time.perf_counter() - t0
 
 out = {"reference": REFERENCE, "wall_s": wall, "ours": {}}

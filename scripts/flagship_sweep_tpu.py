@@ -54,7 +54,7 @@ if "mhd" in LEGS:
     r = run_mhd("joint", config={"N": 64, "Epochs": 60, "Batch Size": 10,
                                  "n_train": 100, "n_cal": 100,
                                  "n_pred": 100},
-                verbose=True, train_precision="default")
+                verbose=True, train_precision="bf16")
     dump("/root/repo/results_mhd.json", "mhd_joint_induction", r,
          time.perf_counter() - t0)
 
@@ -66,7 +66,7 @@ if "jorek" in LEGS:
     r = run_jorek("joint", config={"Epochs": 60, "Batch Size": 10,
                                    "n_train": 100, "n_cal": 100,
                                    "n_pred": 100},
-                  verbose=True, train_precision="default")
+                  verbose=True, train_precision="bf16")
     dump("/root/repo/results_jorek.json", "jorek_joint_continuity", r,
          time.perf_counter() - t0)
 
@@ -77,7 +77,7 @@ if "burgers" in LEGS:
     t0 = time.perf_counter()
     r = run_burgers("joint", config={"Epochs": 200, "n_train": 100,
                                      "n_cal": 100, "n_pred": 100},
-                    verbose=True, train_precision="default")
+                    verbose=True, train_precision="bf16")
     dump("/root/repo/results_burgers.json", "burgers_joint", r,
          time.perf_counter() - t0)
 print("SWEEP DONE", flush=True)

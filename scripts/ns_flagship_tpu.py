@@ -31,10 +31,10 @@ CFG = {"Epochs": 60, "n_train": 100, "n_cal": 100, "n_pred": 100,
        "Batch Size": 10, "Modes": 8, "Width_time": 16}
 
 t0 = time.perf_counter()
-# train at 1-pass bf16 MXU precision like the other flagships (A/B-validated,
-# BASELINE.md "Train-time matmul precision"); CP rollouts stay HIGHEST inside
+# train with bf16 activations like the other flagships (A/B-validated,
+# BASELINE.md "Train-time precision ladder"); CP rollouts stay HIGHEST inside
 r = run("joint", config=CFG, verbose=True, eps=1e-6,
-        train_precision="default")
+        train_precision="bf16")
 wall = time.perf_counter() - t0
 
 out = {

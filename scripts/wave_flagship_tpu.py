@@ -52,10 +52,11 @@ CFG = {"Epochs": 60, "n_train": 200, "n_cal": 200, "n_pred": 100,
 EPS = 1e-6
 
 t0 = time.perf_counter()
-# bf16-MXU training (1.48x end-to-end A/B-validated, results_precision_ab
-# .json; CP rollouts keep HIGHEST — models/fno.py::precision_scope)
+# bf16-activation training (2.58x train-wall A/B-validated,
+# results_precision_ab.json; CP rollouts keep HIGHEST f32 —
+# models/fno.py::with_activation_dtype)
 r = run("joint", config=CFG, verbose=True, eps=EPS, return_residuals=True,
-        train_precision="default")
+        train_precision="bf16")
 wall = time.perf_counter() - t0
 
 # diagnostics: how close did the f32 modulation come to the inf/NaN cliff?

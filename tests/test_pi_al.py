@@ -138,6 +138,20 @@ def test_active_learning_loop_reduces_mse():
     assert all(s > 0 for s in sampled)
     assert mse_hist[-1] < mse_hist[0] * 5  # no divergence
 
+    # the train_precision knob (bf16 activations for the fine-tune fits
+    # only) must leave the loop functional with f32 master params
+    params_bf, mse_bf, sampled_bf = active_learning_loop(
+        acq_func="PRE", model=model, params=p0, gen_fields=gen,
+        residual_of=lambda pred: np.asarray(pre(_to_convops(pred))),
+        lb=[0.5, 50], ub=[1.0, 200], train_a=a0, train_u=u0,
+        test_a=te_a, test_u=te_u, n_iterations=1, n_pred=10, alpha=0.5,
+        epochs=3, batch_size=5, step=1, T_out=10, verbose=False,
+        train_precision="bf16")
+    assert all(s > 0 for s in sampled_bf)
+    assert mse_bf[-1] < mse_hist[0] * 5
+    leaves = jax.tree_util.tree_leaves(params_bf)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+
 
 def test_cns_rhs_and_residuals():
     from cppre.solvers.cns_differentiable import CNSResiduals, EulerFVRHS
