@@ -59,7 +59,7 @@ def _fit_generic(model, a, u, cfg, train_step_factory, seed=0, rngs_per_step=Fal
 
 def run(case: str = "Wave", config_path: str | None = None,
         overrides: dict | None = None, verbose: bool = True,
-        on_method_done=None):
+        on_method_done=None, skip=()):
     cfg_file = config_path or os.path.join(
         os.path.dirname(__file__), "configs", f"{'NS' if case == 'Navier-Stokes' else case}_FNO.yaml")
     cfg = load_config(cfg_file)
@@ -93,6 +93,10 @@ def run(case: str = "Wave", config_path: str | None = None,
     def _train_apply(model):
         if train_prec == "highest":
             return model.apply
+        if train_prec == "bf16":
+            from ..models import with_activation_dtype
+
+            return with_activation_dtype(model.apply)
         from ..models import with_matmul_precision
 
         return with_matmul_precision(model.apply, train_prec)
@@ -169,7 +173,8 @@ def run(case: str = "Wave", config_path: str | None = None,
         raise ValueError(f"unknown UQ method {uq}")
 
     return evaluate_uq_methods(
-        methods=cfg["UQ"], model_factory=model_factory,
+        methods=[m for m in cfg["UQ"] if m not in set(skip)],
+        model_factory=model_factory,
         test_a=te_a, test_u=te_u, step=step, T_out=T_out,
         alpha=cfg.get("alpha", 0.1), samples=cfg.get("samples", 10),
         runs=cfg.get("runs", 10), n_eval=cfg.get("n_eval", 300),

@@ -15,6 +15,7 @@ effective GB/s against the path's true HBM traffic.
 Run: timeout 3000 python scripts/bench_scaling.py
 """
 
+import json
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -66,6 +67,16 @@ def predicted_route(shape):
     return sk.routing_decision(shape)
 
 
+RESULTS = {"rows": [], "gsweep": []}
+
+
+def _persist():
+    """Incremental dump: the tunnel can die mid-sweep and the refresh
+    driver only keeps a 3-line tail of stage stdout."""
+    with open("/root/repo/results_scaling.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
+
+
 def report(shape, path, work, q):
     bs = shape[0]
     fields = 2 * bs / work
@@ -73,6 +84,10 @@ def report(shape, path, work, q):
     print(f"[{bs:4d},{shape[1]},{shape[2]},{shape[3]:3d},{shape[4]:3d}] "
           f"{path:9s}: {work*1e3:8.2f} ms/call  {fields:9.0f} fields/s  "
           f"~{gbs:5.0f} GB/s  qhat={q:.5f}", flush=True)
+    RESULTS["rows"].append({"shape": list(shape), "path": path,
+                            "ms_per_call": work * 1e3, "fields_s": fields,
+                            "gb_s": gbs, "qhat": float(q)})
+    _persist()
 
 
 def run_shape(shape):
@@ -193,6 +208,10 @@ def run_gsweep():
                                         reps=REPS)
                 print(f"  gsweep {name:5s} g={g}: {work*1e3:7.3f} ms/call  "
                       f"{2*bs/work:9.0f} fields/s  qhat={q:.5f}", flush=True)
+                RESULTS["gsweep"].append(
+                    {"family": name, "g": g, "ms_per_call": work * 1e3,
+                     "fields_s": 2 * bs / work, "qhat": float(q)})
+                _persist()
             except Exception as e:
                 print(f"  gsweep {name:5s} g={g}: FAILED "
                       f"{str(e).splitlines()[0][:80]}", flush=True)

@@ -92,6 +92,10 @@ def main():
                                   capture_output=True, text=True)
             ok = proc.returncode == 0
             tail = (proc.stdout + proc.stderr).strip().splitlines()[-3:]
+            # full stdout+stderr per stage: several stages print measured
+            # numbers they do not persist anywhere else
+            with open(f"/tmp/refresh_stage_{name}.log", "w") as f:
+                f.write(proc.stdout + "\n--- stderr ---\n" + proc.stderr)
         except subprocess.TimeoutExpired:
             ok, tail = False, ["TIMEOUT"]
         wall = time.perf_counter() - t0

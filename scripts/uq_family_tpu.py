@@ -78,7 +78,22 @@ def main(case: str = "Navier-Stokes"):
     overrides = dict(OVERRIDES, **FAMILY_OVERRIDES.get(case, {}))
     t0 = time.perf_counter()
 
+    # Per-method resume: a prior run of the SAME protocol that was killed
+    # mid-way left a `_partial` family entry with the finished methods
+    # banked — keep those and only compute the rest. (Methods are
+    # statistically independent: each trains and bootstraps on the same
+    # fixed split, so skipping completed ones changes nothing.)
+    prev = _load_existing().get(case, {})
+    prev_proto = dict(prev.get("_protocol", {}))
+    done = {}
+    if prev_proto.pop("_partial", False) and prev_proto == overrides:
+        done = {k: v for k, v in prev.items()
+                if not k.startswith("_") and isinstance(v, dict) and "l2" in v}
+        if done:
+            print(f"resuming {case}: keeping {sorted(done)}", flush=True)
+
     partial = {"_protocol": dict(overrides, _partial=True)}
+    partial.update(done)
 
     def bank(uq, result):
         """Per-method incremental save: a stage killed mid-protocol (tunnel
@@ -91,7 +106,9 @@ def main(case: str = "Navier-Stokes"):
         json.dump(existing, open(PATH_, "w"), indent=1)
         print(f"banked {uq} -> {PATH_}", flush=True)
 
-    res = run(case, overrides=overrides, verbose=True, on_method_done=bank)
+    res = run(case, overrides=overrides, verbose=True, on_method_done=bank,
+              skip=tuple(done))
+    res.update({k: v for k, v in done.items() if k not in res})
     res["_wall_s"] = time.perf_counter() - t0
     res["_protocol"] = dict(overrides)
 

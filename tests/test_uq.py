@@ -171,3 +171,28 @@ def test_run_eval_end_to_end_with_train_precision():
     assert set(res) == {"Deterministic", "PRE", "MLE"}
     for r in res.values():
         assert np.isfinite(r["l2"][0])
+
+
+def test_run_eval_skip_and_bf16_precision():
+    """`skip=` drops already-banked methods (the per-method resume path in
+    scripts/uq_family_tpu.py) and `Train Precision: bf16` routes training
+    through the bf16-activation wrapper without breaking evaluation."""
+    from cppre.uq.run_eval import run
+
+    res = run("Wave", overrides={
+        "UQ": ["Deterministic", "PRE", "AER"],
+        "Train Precision": "bf16",
+        "Epochs": 1,
+        "n_total": 6,
+        "n_train_eval": 3,
+        "runs": 1,
+        "n_eval": 2,
+        "samples": 1,
+        "Batch Size": 3,
+        "T_out": 4,
+        "Modes": 4,
+        "Width_time": 8,
+    }, verbose=False, skip=("AER",))
+    assert set(res) == {"Deterministic", "PRE"}
+    for r in res.values():
+        assert np.isfinite(r["l2"][0])
