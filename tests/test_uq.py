@@ -196,3 +196,24 @@ def test_run_eval_skip_and_bf16_precision():
     assert set(res) == {"Deterministic", "PRE"}
     for r in res.values():
         assert np.isfinite(r["l2"][0])
+
+
+def test_ood_data_loader_shifts_physics():
+    """`Dist: out` (reference `Other_UQ/Evaluation/data_loaders.py:15-92`)
+    must produce a DIFFERENT physical family: half wave speed for Wave, so
+    the solver trajectories and the PRE residual operator both change."""
+    from cppre.uq.data_loaders import load_wave
+
+    d_in, pre_in, cfg_in = load_wave("in", n=3, Nx=32, seed=0)
+    d_out, pre_out, cfg_out = load_wave("out", n=3, Nx=32, seed=0)
+    assert cfg_out["c"] == 0.5 * cfg_in["c"]
+    assert d_in.shape == d_out.shape
+    # same seed, different wave speed -> different trajectories
+    assert float(np.max(np.abs(np.asarray(d_in) - np.asarray(d_out)))) > 1e-3
+    # the PRE carries the shifted physics: residuals of the SAME field differ
+    f = np.asarray(d_in[:, 0]).transpose(0, 3, 1, 2)  # ConvOps layout
+    import jax.numpy as jnp
+
+    r_in = np.asarray(pre_in(jnp.asarray(f)))
+    r_out = np.asarray(pre_out(jnp.asarray(f)))
+    assert float(np.max(np.abs(r_in - r_out))) > 1e-6
