@@ -1,13 +1,13 @@
 """UQ-method comparison for one family on TPU (VERDICT r2 item 6).
 
-Usage: timeout 14000 python scripts/uq_family_tpu.py [Navier-Stokes|MHD|Wave]
+Usage: timeout 14000 python scripts/uq_family_tpu.py [Navier-Stokes|MHD|Wave] [in|out]
 
 Runs the Other_UQ evaluation protocol (`Other_UQ/Evaluation/Eval.py`) for
-all 8 methods with 5 bootstrap resamples of 50 test sims, and merges the
-result into `results_uq.json`, restructured as {family: {method: ...}}
-(the previous flat layout held only the Wave family).
-
-Run: timeout 14000 python scripts/uq_family_tpu.py <family>
+all 8 methods and merges the result into `results_uq.json`, keyed per
+family (with an " (OOD)" suffix for `out`-distribution runs — reference
+`data_loaders.py:15-92`: half wave speed / 10x viscosity). In-dist
+families run the raised 10x150 protocol; OOD runs keep the base 5x50.
+Re-runs of an identical protocol resume per-method.
 """
 
 import json
@@ -72,10 +72,16 @@ def _load_existing():
     return existing
 
 
-def main(case: str = "Navier-Stokes"):
+def main(case: str = "Navier-Stokes", dist: str = "in"):
     from cppre.uq.run_eval import run
 
     overrides = dict(OVERRIDES, **FAMILY_OVERRIDES.get(case, {}))
+    if dist == "out":
+        # OOD protocol (reference `Other_UQ/Evaluation/data_loaders.py`:
+        # half wave speed / 10x viscosity): keep the base 5x50 protocol —
+        # the point is the coverage signature under shift, not resolution
+        overrides = dict(OVERRIDES, Dist="out")
+    key = case if dist == "in" else f"{case} (OOD)"
     t0 = time.perf_counter()
 
     # Per-method resume: a prior run of the SAME protocol that was killed
@@ -83,14 +89,14 @@ def main(case: str = "Navier-Stokes"):
     # banked — keep those and only compute the rest. (Methods are
     # statistically independent: each trains and bootstraps on the same
     # fixed split, so skipping completed ones changes nothing.)
-    prev = _load_existing().get(case, {})
+    prev = _load_existing().get(key, {})
     prev_proto = dict(prev.get("_protocol", {}))
     done = {}
     if prev_proto.pop("_partial", False) and prev_proto == overrides:
         done = {k: v for k, v in prev.items()
                 if not k.startswith("_") and isinstance(v, dict) and "l2" in v}
         if done:
-            print(f"resuming {case}: keeping {sorted(done)}", flush=True)
+            print(f"resuming {key}: keeping {sorted(done)}", flush=True)
 
     partial = {"_protocol": dict(overrides, _partial=True)}
     partial.update(done)
@@ -102,7 +108,7 @@ def main(case: str = "Navier-Stokes"):
         partial[uq] = result
         partial["_wall_s"] = time.perf_counter() - t0
         existing = _load_existing()
-        existing[case] = dict(partial)
+        existing[key] = dict(partial)
         json.dump(existing, open(PATH_, "w"), indent=1)
         print(f"banked {uq} -> {PATH_}", flush=True)
 
@@ -113,7 +119,7 @@ def main(case: str = "Navier-Stokes"):
     res["_protocol"] = dict(overrides)
 
     existing = _load_existing()
-    existing[case] = res
+    existing[key] = res
     json.dump(existing, open(PATH_, "w"), indent=1)
     print("wrote", PATH_, flush=True)
     for m, r in res.items():
@@ -124,4 +130,5 @@ def main(case: str = "Navier-Stokes"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "Navier-Stokes")
+    main(sys.argv[1] if len(sys.argv) > 1 else "Navier-Stokes",
+         sys.argv[2] if len(sys.argv) > 2 else "in")
