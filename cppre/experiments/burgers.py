@@ -72,6 +72,9 @@ def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
         from ..models import with_matmul_precision
 
         train_apply = with_matmul_precision(train_apply, train_precision)
+    import time as _time
+
+    _t0 = _time.perf_counter()
     params = fit(train_apply, params, a_all[tr], u_all[tr],
                  a_all[tr][-5:], u_all[tr][-5:], epochs=cfg["Epochs"],
                  batch_size=cfg["Batch Size"], step=step, T_out=T_out,
@@ -79,6 +82,7 @@ def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
                  scheduler_step=cfg["Scheduler Step"],
                  scheduler_gamma=cfg["Scheduler Gamma"], seed=seed,
                  verbose=verbose)
+    train_time = _time.perf_counter() - _t0
     apply_fn = lambda x: model.apply(params, x)
 
     to_convops = lambda f: jnp.transpose(f, (0, 1, 3, 2))[:, 0]
@@ -105,6 +109,7 @@ def run(mode: str = "joint", config: dict | None = None, seed: int = 0,
 
     results = {
         "config": cfg, "mode": mode, "mse": float(mse), "mae": float(mae),
+        "train_time": train_time,
         "alphas": aer["alphas"], "coverage_aer_pre": aer["coverage"],
         "coverage_pre": pre_only["coverage"], "qhat": np.asarray(aer["qhat"]),
         "coverage_aer_pre_holdout": aer_h["coverage"] if aer_h else None,

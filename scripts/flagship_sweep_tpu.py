@@ -33,6 +33,7 @@ def dump(path, key, r, wall, extra=None):
         "coverage_aer_pre": np.asarray(r["coverage_aer_pre"]).tolist(),
         "coverage_pre": np.asarray(r["coverage_pre"]).tolist(),
         "wall_s": wall,
+        "train_time_s": float(r.get("train_time", float("nan"))),
     }
     for k in ("coverage_aer_pre_holdout", "coverage_pre_holdout"):
         if r.get(k) is not None:

@@ -49,6 +49,7 @@ out = {
         "coverage_pre_holdout":
             np.asarray(r["coverage_pre_holdout"]).tolist(),
         "wall_s": wall,
+        "train_time_s": float(r.get("train_time", float("nan"))),
     }
 }
 with open("/root/repo/results_ns.json", "w") as f:

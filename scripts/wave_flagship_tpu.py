@@ -87,6 +87,7 @@ out = {
             np.asarray(r["coverage_pre_holdout"]).tolist(),
         "diagnostics": diag,
         "wall_s": wall,
+        "train_time_s": float(r.get("train_time", float("nan"))),
     }
 }
 with open("/root/repo/results_wave.json", "w") as f:
