@@ -321,3 +321,11 @@ def test_train_precision_knob_trains_and_calibrates():
     from cppre.models import fno as fno_mod
     import jax
     assert fno_mod.PRECISION == jax.lax.Precision.HIGHEST
+
+    # the flagship default: bf16 ACTIVATIONS for SGD. Real dtype change on
+    # CPU too, so the trajectory may differ at bf16 rounding scale — pin
+    # that the pipeline runs, calibrates, and stays in the same MSE regime
+    r_act = run("joint", config=cfg, verbose=False, train_precision="bf16")
+    assert np.all(np.isfinite(r_act["coverage_aer_pre"]))
+    assert r_act["mse"] < 10 * r_hi["mse"] + 1e-6
+    assert fno_mod.ACT_DTYPE is None  # trace-scoped, no global leak
