@@ -32,9 +32,13 @@ CFG = {"Epochs": 60, "n_train": 100, "n_cal": 100, "n_pred": 100,
 
 t0 = time.perf_counter()
 # train with bf16 activations like the other flagships (A/B-validated,
-# BASELINE.md "Train-time precision ladder"); CP rollouts stay HIGHEST inside
+# BASELINE.md "Train-time precision ladder"); CP rollouts stay HIGHEST f32
+# but ride the fused Pallas FNO blocks — the on-chip A/B maps the NS
+# flagship shape as the fused kernel's win region (1.30x rollout,
+# BASELINE.md "Fused FNO block A/B"; cal+pred still roll out in ONE
+# batched call, so exchangeability is unchanged)
 r = run("joint", config=CFG, verbose=True, eps=1e-6,
-        train_precision="bf16")
+        train_precision="bf16", fused_forward=True)
 wall = time.perf_counter() - t0
 
 out = {
