@@ -22,7 +22,8 @@ import numpy as np
 import optax
 from jax import lax
 
-__all__ = ["TrainState", "make_optimizer", "make_train_step", "train_one_epoch_AR", "fit"]
+__all__ = ["TrainState", "make_optimizer", "make_train_step",
+           "train_one_epoch_AR", "fit", "resolve_remat_policy"]
 
 
 class TrainState(NamedTuple):
@@ -53,8 +54,28 @@ def _chunked_targets(yy, step: int, T_out: int):
     return jnp.moveaxis(y, -2, 0)
 
 
+def resolve_remat_policy(name):
+    """Resolve a remat-policy spec to a `jax.checkpoint` policy callable.
+
+    Accepts None (full rematerialisation — save nothing), a callable
+    (passed through), or a string: the short aliases ``"dots"`` /
+    ``"dots_no_batch"`` or any attribute name of
+    `jax.checkpoint_policies`."""
+    if name is None or callable(name):
+        return name
+    aliases = {"dots": "checkpoint_dots",
+               "dots_no_batch": "dots_with_no_batch_dims_saveable"}
+    attr = aliases.get(name, name)
+    policy = getattr(jax.checkpoint_policies, attr, None)
+    if policy is None:
+        raise ValueError(f"unknown remat policy {name!r}; one of "
+                         f"{sorted(aliases)} or a jax.checkpoint_policies "
+                         "attribute name")
+    return policy
+
+
 def rollout_loss(apply_fn, params, xx, yy, step: int, T_out: int, loss_func,
-                 remat: bool = True):
+                 remat: bool = True, remat_policy=None):
     """Sum over chunks of loss_func(im, y_chunk) along an AR rollout.
 
     Returns (total_chunk_loss, pred) — the reference's `loss` accumulator and
@@ -63,6 +84,15 @@ def rollout_loss(apply_fn, params, xx, yy, step: int, T_out: int, loss_func,
     training memory is one rollout step instead of T_out/step of them —
     without it the wave config (batch 20, 20 steps, width-32 FNO on 64^2)
     needs ~25 GB of HBM and OOMs a single v5e chip.
+
+    `remat_policy` (with `remat=True`) is the middle ground: a
+    `jax.checkpoint_policies` policy (see `resolve_remat_policy`) that SAVES
+    selected per-step values — e.g. "dots" keeps every MXU contraction
+    output so the backward re-runs none of the matmuls — trading saved-
+    activation HBM for the recompute pass. The rollout step is
+    activation-HBM-bound (BASELINE.md training roofline), so which side
+    wins is an empirical question; `scripts/train_roofline.py [dots]`
+    measures it on-chip. Policies change scheduling only, never values.
     """
     ys = _chunked_targets(yy, step, T_out)
     if ys.shape[0] == 1:
@@ -79,7 +109,9 @@ def rollout_loss(apply_fn, params, xx, yy, step: int, T_out: int, loss_func,
         return (xx, acc), im
 
     if remat:
-        body = jax.checkpoint(body)
+        policy = resolve_remat_policy(remat_policy)
+        body = jax.checkpoint(body, policy=policy) if policy is not None \
+            else jax.checkpoint(body)
     (_, total), preds = lax.scan(body, (xx, 0.0), ys)
     preds = jnp.moveaxis(preds, 0, -2)
     pred = preds.reshape(preds.shape[:-2] + (ys.shape[0] * step,))
@@ -87,14 +119,15 @@ def rollout_loss(apply_fn, params, xx, yy, step: int, T_out: int, loss_func,
 
 
 def make_train_step(apply_fn, tx, step: int, T_out: int, loss_func,
-                    remat: bool = True):
+                    remat: bool = True, remat_policy=None):
     """Build the jitted (params, opt_state, xx, yy) -> update function."""
 
     @jax.jit
     def train_step(params, opt_state, xx, yy):
         def loss_of(p):
             total, pred = rollout_loss(apply_fn, p, xx, yy, step, T_out,
-                                       loss_func, remat=remat)
+                                       loss_func, remat=remat,
+                                       remat_policy=remat_policy)
             return total, pred
 
         (loss, pred), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
@@ -140,13 +173,15 @@ def train_one_epoch_AR(state: TrainState, train_step, train_a, train_u,
 def fit(model_apply, params, train_a, train_u, test_a, test_u, *, epochs: int,
         batch_size: int, step: int, T_out: int, loss_func, lr: float = 5e-3,
         scheduler_step: int = 100, scheduler_gamma: float = 0.5,
-        seed: int = 0, verbose: bool = False):
+        seed: int = 0, verbose: bool = False,
+        remat: bool = True, remat_policy=None):
     """Full training driver (the per-script loop, e.g.
     `Marginal/Advection_Residuals_CP.py:194-207`). Returns trained params."""
     steps_per_epoch = max(train_a.shape[0] // batch_size, 1)
     tx = make_optimizer(lr, scheduler_step, scheduler_gamma, steps_per_epoch)
     state = TrainState.create(model_apply, params, tx)
-    train_step = make_train_step(model_apply, tx, step, T_out, loss_func)
+    train_step = make_train_step(model_apply, tx, step, T_out, loss_func,
+                                 remat=remat, remat_policy=remat_policy)
     key = jax.random.PRNGKey(seed)
     for ep in range(epochs):
         key, sub = jax.random.split(key)

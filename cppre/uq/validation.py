@@ -3,8 +3,9 @@
 Behavioral spec: `/root/reference/Other_UQ/Utils/training_utils.py:117-512`.
 Each reference validator loops batch=1 over the test set and a Python loop
 over MC samples; here the rollout is the shared `lax.scan` and the sample
-axis is a `vmap` over rng keys — one compiled program per method, the whole
-test batch at once.
+axis is a sequential `lax.map` over rng keys — one compiled program per
+method, the whole test batch at once per sample (see `_mc_rollout` for why
+the sample axis must not be vmapped).
 """
 
 from __future__ import annotations
@@ -36,12 +37,22 @@ def _metrics(pred, test_u):
 
 
 def _mc_rollout(sample_apply: Callable, keys, test_a, step, T_out):
-    """vmap an AR rollout over per-sample rng keys -> [S, B, ..., T_out]."""
+    """Map an AR rollout over per-sample rng keys -> [S, B, ..., T_out].
+
+    The sample axis is a sequential `lax.map`, NOT a `vmap`: one sample's
+    rollout over the full eval batch already saturates the MXU, and a
+    vmapped sample axis multiplies the rollout's live conv-activation
+    footprint S-fold. At the reference-scale protocol (10 samples x 150
+    sims; `Other_UQ/Evaluation/Eval.py:121-122`) that is an 18.9 GB (NS) /
+    37.7 GB (MHD, 6 variables) single allocation — XLA refused to compile
+    it for a 16 GB v5e (on-chip OOM, 2026-08-19). Sequential samples bound
+    peak memory at one rollout while keeping a single compiled program.
+    """
 
     def one(key):
         return autoregressive_rollout(lambda x: sample_apply(key, x), test_a, step, T_out)
 
-    return jax.vmap(one)(keys)
+    return jax.lax.map(one, keys)
 
 
 def validation_dropout(model, params, test_a, test_u, step, T_out, samples, key):

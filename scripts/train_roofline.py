@@ -28,7 +28,7 @@ PEAK_BF16 = 197e12
 
 def main(fused: bool = False, remat: bool = True,
          bwd_impl: str = "pallas", precision: str = "highest",
-         width: int = 32):
+         width: int = 32, remat_policy: str | None = None):
     from cppre.models import (FNO2d, make_fused_train_apply,
                               with_activation_dtype, with_matmul_precision)
     from cppre.train.loops import make_optimizer, make_train_step
@@ -36,7 +36,7 @@ def main(fused: bool = False, remat: bool = True,
 
     print(f"backend: {jax.default_backend()}  fused={fused}  remat={remat}"
           f"  bwd={bwd_impl if fused else 'n/a'}  precision={precision}"
-          f"  width={width}", flush=True)
+          f"  width={width}  policy={remat_policy}", flush=True)
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((BATCH, NVAR, NX, NY, T_IN)), jnp.float32)
     u = jnp.asarray(rng.standard_normal((BATCH, NVAR, NX, NY, T_OUT)), jnp.float32)
@@ -59,7 +59,7 @@ def main(fused: bool = False, remat: bool = True,
         # calibration/prediction rollouts, not SGD (models/fno.py scope)
         apply_fn = with_matmul_precision(apply_fn, precision)
     train_step = make_train_step(apply_fn, tx, STEP, T_OUT, lp_loss,
-                                 remat=remat)
+                                 remat=remat, remat_policy=remat_policy)
 
     # XLA's own cost model for one step
     lowered = jax.jit(lambda p, s, xx, yy: train_step(p, s, xx, yy)[:2]).lower(
@@ -112,8 +112,14 @@ if __name__ == "__main__":
     #   python scripts/train_roofline.py wide [bf16] -> width_time=128
     #   (production scale): substantiates the BASELINE claim that the low
     #   TFLOP/s at width 32 is MXU tile occupancy, not scheduling waste
+    #   python scripts/train_roofline.py [bf16act] dots -> policy remat:
+    #   save every MXU contraction output in the rollout scan, recompute
+    #   only elementwise — trades saved-activation HBM for the full
+    #   recompute pass of the default remat
     main(fused="fused" in sys.argv[1:], remat="noremat" not in sys.argv[1:],
          bwd_impl="xla" if "xlabwd" in sys.argv[1:] else "pallas",
          precision="bf16act" if "bf16act" in sys.argv[1:]
          else "default" if "bf16" in sys.argv[1:] else "highest",
-         width=128 if "wide" in sys.argv[1:] else 32)
+         width=128 if "wide" in sys.argv[1:] else 32,
+         remat_policy="dots_no_batch" if "dots_no_batch" in sys.argv[1:]
+         else "dots" if "dots" in sys.argv[1:] else None)

@@ -113,3 +113,42 @@ def test_single_shot_rollout_step_equals_tout():
                                 step, t_out, loss_fn)
     np.testing.assert_array_equal(np.asarray(pred3), np.asarray(pred))
     assert np.isfinite(float(total))
+
+
+def test_remat_policy_changes_scheduling_never_values():
+    """Policy remat ("dots": save MXU contraction outputs in the rollout
+    scan) must produce bit-level-close loss AND gradients vs the default
+    save-nothing remat and vs no remat — it is a scheduling knob only.
+    Also pins `resolve_remat_policy`'s alias/error contract."""
+    import pytest
+
+    from cppre.models import FNO1d
+    from cppre.train.loops import resolve_remat_policy, rollout_loss
+
+    rng = np.random.RandomState(1)
+    u = jnp.asarray(rng.rand(4, 1, 32, 7).astype(np.float32))
+    a, y = u[..., :1], u[..., 1:7]
+    m = FNO1d(T_in=1, step=1, modes1=4, num_vars=1, width_time=8)
+    p0 = m.init(jax.random.PRNGKey(0), a)
+
+    def loss_of(p, remat, policy):
+        total, _ = rollout_loss(m.apply, p, a, y, 1, 6, lp_loss,
+                                remat=remat, remat_policy=policy)
+        return total
+
+    ref_l, ref_g = jax.value_and_grad(loss_of)(p0, True, None)
+    for remat, policy in [(True, "dots"), (True, "dots_no_batch"),
+                          (False, None)]:
+        l, g = jax.value_and_grad(loss_of)(p0, remat, policy)
+        np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-6)
+        for ga, gb in zip(jax.tree_util.tree_leaves(ref_g),
+                          jax.tree_util.tree_leaves(g)):
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       rtol=1e-5, atol=1e-6)
+
+    assert resolve_remat_policy(None) is None
+    fn = lambda *_: True
+    assert resolve_remat_policy(fn) is fn
+    assert callable(resolve_remat_policy("checkpoint_dots"))
+    with pytest.raises(ValueError, match="unknown remat policy"):
+        resolve_remat_policy("not_a_policy")
