@@ -152,10 +152,20 @@ def run_2d_cp(
         # tests/test_parallel.py).
         from ..parallel import shard_batch
 
+        # device_put with an even NamedSharding needs dp | batch; the
+        # flagship n_cal + n_pred are not multiples of 8, so zero-sample
+        # pad before placement and crop after the rollout. Samples are
+        # independent along the batch axis, so pad rows never touch real
+        # ones, and cal/pred still share the single batched call above.
+        dp = mesh.shape["dp"]
+        pad = (-a_cp.shape[0]) % dp
+        if pad:
+            widths = ((0, pad),) + ((0, 0),) * (a_cp.ndim - 1)
+            a_cp, u_cp = jnp.pad(a_cp, widths), jnp.pad(u_cp, widths)
         a_cp, u_cp = shard_batch(a_cp, mesh), shard_batch(u_cp, mesh)
 
     pred_all, _, _ = validation_AR(apply_fn, a_cp, u_cp, step, T_out)
-    pred_cal, pred_pred = pred_all[:n_cal], pred_all[n_cal:]
+    pred_cal, pred_pred = pred_all[:n_cal], pred_all[n_cal:n_cal + n_pred]
     # metrics on the calibration slice only (the pre-existing contract:
     # results['mse'] is the calibration-rollout MSE, not cal+pred mixed)
     mse = jnp.mean((pred_cal - u_enc[cal_sl]) ** 2)

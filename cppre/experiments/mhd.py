@@ -34,9 +34,14 @@ LB = np.asarray([0.5, 0.5, 0.5])  # a, b, c (:206-207)
 UB = np.asarray([1.0, 1.0, 1.0])
 
 
-def gen_data(cfg: dict, n: int, seed: int = 0):
-    """LHS design -> [n, 6, Nx, Ny, Nt] FNO tensor + (dt_eff, dx)."""
-    params = sample_params(LB, UB, n, seed)
+def gen_data(cfg: dict, n: int, seed: int = 0, lb=None, ub=None):
+    """LHS design -> [n, 6, Nx, Ny, Nt] FNO tensor + (dt_eff, dx).
+
+    `lb`/`ub` override the (a, b, c) design box (default: the reference's
+    training box LB..UB) — the out-of-distribution loader samples a
+    disjoint box (`uq/data_loaders.py::load_mhd`)."""
+    params = sample_params(LB if lb is None else np.asarray(lb),
+                           UB if ub is None else np.asarray(ub), n, seed)
     fields = mhd_solve_batch(params, cfg["N"], cfg["boxsize"], cfg["tEnd"],
                              dt=cfg["dt"], store_every=cfg["t_slice"])
     data = np.stack([np.moveaxis(np.asarray(f), 1, -1) for f in fields], axis=1)

@@ -220,7 +220,13 @@ def make_sharded_fused_apply(model, variables, mesh: Mesh, axis: str = "dp",
     so batch-sharded inputs through plain jit would gather). Samples are
     embarrassingly parallel in the forward, so no collective is needed —
     out stays batch-sharded for the downstream (sharding-transparent) CP
-    phase. Unsupported shapes fall back to `model.apply` per shard."""
+    phase. Unsupported shapes fall back to `model.apply` per shard.
+
+    Batches not divisible by the mesh extent are zero-sample padded and
+    the output cropped — samples are independent in the forward, so the
+    pad rows never touch the real ones (the `sharded_fused_cp_scores` /
+    `sharded_calibrate` uneven-batch convention; the flagship configs'
+    n_cal + n_pred are not multiples of 8)."""
     from functools import partial
 
     from jax import shard_map
@@ -237,16 +243,16 @@ def make_sharded_fused_apply(model, variables, mesh: Mesh, axis: str = "dp",
 
     @jax.jit
     def apply_fn(x):
-        if x.shape[0] % dp != 0:
-            raise ValueError(
-                f"the '{axis}' mesh axis extent ({dp}) must divide the "
-                f"batch ({x.shape[0]}) so every shard runs an identical "
-                f"fused kernel")
+        n = x.shape[0]
+        pad = (-n) % dp
+        if pad:
+            x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
         spec = P(axis, *([None] * (x.ndim - 1)))
         # check_vma=False: pallas_call outputs carry no varying-mesh-axes
         # info (same caveat as sharded_fused_cp_scores)
         f = partial(shard_map, mesh=mesh, in_specs=(spec,),
                     out_specs=spec, check_vma=False)(local_apply)
-        return f(x)
+        out = f(x)
+        return out[:n] if pad else out
 
     return apply_fn

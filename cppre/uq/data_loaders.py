@@ -3,8 +3,9 @@
 Behavioral spec: `/root/reference/Other_UQ/Evaluation/data_loaders.py:15-92`
 — per-case loaders returning stacked FNO tensors plus the matching PRE
 residual class; `Dist: out` shifts the physics (half wave speed for Wave,
-10x viscosity for NS; SURVEY.md §2.5). The reference reads cached .npz
-archives; here the JAX solvers regenerate the data on-device.
+10x viscosity for NS, a disjoint stronger-field/lighter-fluid design box
+for MHD; SURVEY.md §2.5). The reference reads cached .npz archives; here
+the JAX solvers regenerate the data on-device.
 """
 
 from __future__ import annotations
@@ -45,9 +46,16 @@ def load_mhd(dist: str = "in", n: int = 50, N: int = 64, seed: int = 0):
     from ..experiments.mhd import CONFIG, gen_data
 
     cfg = dict(CONFIG, N=N)
+    lb = ub = None
     if dist == "out":
-        # OOD: stronger field / lighter fluid half of the design box
-        cfg["tEnd"] = cfg["tEnd"]
-    data, dt_eff, dx = gen_data(cfg, n, seed + (1000 if dist == "out" else 0))
+        # OOD: a disjoint Orszag-Tang design box — field strength b above
+        # the training range, density/pressure scale c below it (stronger
+        # field / lighter fluid; training box is (a, b, c) in [0.5, 1]^3,
+        # solvers/mhd2d_constrained.py:7). CFL-safe at the fixed dt: the
+        # fast speed grows ~sqrt(1 + b^2/(4 pi rho)) <= 2.2 at (b, c) =
+        # (1.5, 0.25), giving v dt / dx ~ 0.014 at N = 64.
+        lb, ub = (0.5, 1.0, 0.25), (1.0, 1.5, 0.5)
+    data, dt_eff, dx = gen_data(cfg, n, seed + (1000 if dist == "out" else 0),
+                                lb=lb, ub=ub)
     pre = PRE_MHD(dt_eff, dx, dx)
     return data, pre, cfg

@@ -96,7 +96,15 @@ def main():
             # numbers they do not persist anywhere else
             with open(f"/tmp/refresh_stage_{name}.log", "w") as f:
                 f.write(proc.stdout + "\n--- stderr ---\n" + proc.stderr)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # keep everything the stage printed before the kill — several
+            # stages print measured numbers they persist nowhere else
+            out = (e.stdout or b"").decode(errors="replace") \
+                if isinstance(e.stdout, bytes) else (e.stdout or "")
+            err = (e.stderr or b"").decode(errors="replace") \
+                if isinstance(e.stderr, bytes) else (e.stderr or "")
+            with open(f"/tmp/refresh_stage_{name}.log", "w") as f:
+                f.write(out + "\n--- stderr ---\n" + err + "\n--- TIMEOUT ---\n")
             ok, tail = False, ["TIMEOUT"]
         wall = time.perf_counter() - t0
         results[name] = ok

@@ -5,7 +5,8 @@ Usage: timeout 14000 python scripts/uq_family_tpu.py [Navier-Stokes|MHD|Wave] [i
 Runs the Other_UQ evaluation protocol (`Other_UQ/Evaluation/Eval.py`) for
 all 8 methods and merges the result into `results_uq.json`, keyed per
 family (with an " (OOD)" suffix for `out`-distribution runs — reference
-`data_loaders.py:15-92`: half wave speed / 10x viscosity). In-dist
+`data_loaders.py:15-92`: half wave speed / 10x viscosity / disjoint MHD
+design box). In-dist
 families run the raised 10x150 protocol; OOD runs keep the base 5x50.
 Re-runs of an identical protocol resume per-method.
 """
@@ -75,6 +76,10 @@ def _load_existing():
 def main(case: str = "Navier-Stokes", dist: str = "in"):
     from cppre.uq.run_eval import run
 
+    if dist not in ("in", "out"):
+        # "OOD"/"Out"/"ood" would otherwise run the IN-dist protocol but
+        # bank it under the "(OOD)" key — hours of chip time mislabeled
+        raise SystemExit(f"dist must be 'in' or 'out', got {dist!r}")
     overrides = dict(OVERRIDES, **FAMILY_OVERRIDES.get(case, {}))
     if dist == "out":
         # OOD protocol (reference `Other_UQ/Evaluation/data_loaders.py`:

@@ -420,11 +420,14 @@ def test_experiment_engine_mesh_kwarg_parity():
 def test_experiment_engine_fused_forward_mesh_parity():
     """fused_forward=True composes with mesh=: the fused Pallas FNO apply
     runs per-shard inside shard_map (make_sharded_fused_apply) and the
-    coverage curves must match the unsharded fused run."""
+    coverage curves must match the unsharded fused run. n_cal/n_pred are
+    deliberately NOT multiples of the 8-device dp extent — the sharded
+    fused apply zero-sample pads and crops (the flagship configs' batches
+    are uneven too)."""
     from cppre.experiments.wave import run
 
     cfg = {"Epochs": 2, "Nx": 24, "Modes": 4, "Width_time": 8,
-           "Batch Size": 10, "n_train": 10, "n_cal": 24, "n_pred": 8,
+           "Batch Size": 10, "n_train": 10, "n_cal": 26, "n_pred": 9,
            "T_out": 10}
     r1 = run("joint", config=cfg, verbose=False, eps=1e-3,
              fused_forward=True)
