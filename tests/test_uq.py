@@ -217,3 +217,29 @@ def test_ood_data_loader_shifts_physics():
     r_in = np.asarray(pre_in(jnp.asarray(f)))
     r_out = np.asarray(pre_out(jnp.asarray(f)))
     assert float(np.max(np.abs(r_in - r_out))) > 1e-6
+
+
+def test_ood_mhd_loader_samples_disjoint_design_box():
+    """MHD `Dist: out` (reference `data_loaders.py:15-92` in/out pairing)
+    shifts the Orszag-Tang DESIGN BOX, not a PDE coefficient: field
+    strength b above the training range, density/pressure scale c below
+    it. The box must be disjoint from the training box on (b, c) and the
+    resulting trajectories must differ at the same seed."""
+    from cppre.experiments.common import sample_params
+    from cppre.experiments.mhd import LB, UB
+    from cppre.uq.data_loaders import load_mhd
+
+    # the box itself: every OOD (b, c) sample sits outside [LB, UB]
+    lb, ub = (0.5, 1.0, 0.25), (1.0, 1.5, 0.5)
+    p = sample_params(np.asarray(lb), np.asarray(ub), 64, seed=0)
+    assert np.all((p >= lb) & (p <= ub))
+    outside = (p[:, 1] > UB[1]) | (p[:, 2] < LB[2])
+    frac = float(np.mean(outside))
+    assert frac > 0.95, f"only {frac:.0%} of OOD samples left the box"
+
+    # the loader wires it through: different data, same shapes/residual op
+    d_in, pre_in, _ = load_mhd("in", n=2, N=16, seed=0)
+    d_out, pre_out, _ = load_mhd("out", n=2, N=16, seed=0)
+    assert d_in.shape == d_out.shape
+    assert float(np.max(np.abs(np.asarray(d_in) - np.asarray(d_out)))) > 1e-3
+    assert np.all(np.isfinite(np.asarray(d_out)))  # CFL-safe at the fixed dt
