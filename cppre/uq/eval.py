@@ -42,12 +42,18 @@ def evaluate_uq_methods(
     seed: int = 0,
     verbose: bool = True,
     on_method_done: Callable[[str, dict], None] | None = None,
+    batch_chunk: int | None = None,
 ) -> Dict[str, dict]:
     """Returns {method: {l2, coverage, joint_coverage, eval_time: (mean, std)}}.
 
     `model_factory(uq)` returns (model, aux) where aux is params
     (Deterministic/Dropout/Bayesian/MLE/AER/PRE), a list of params
     (Ensemble), or a SWAG instance (SWAG).
+
+    `batch_chunk` (optional) evaluates the per-element methods in batch
+    pieces of that size, concatenating (mean, std) on host — identical
+    statistics, bounded device memory. AER/PRE are exempt (their conformal
+    quantile couples the whole eval batch).
 
     `on_method_done(uq, result)` fires after each method's resample loop
     completes, so long protocols (hours of per-method training on the
@@ -69,37 +75,70 @@ def evaluate_uq_methods(
             key = jax.random.PRNGKey(seed * 1000 + ii)
             t1 = time.perf_counter()
             qhat = None
-            if uq == "Deterministic":
-                from ..train.rollout import validation_AR
 
-                mean, mse, mae = validation_AR(
-                    lambda x: model.apply(aux, x), a, u, step, T_out)
-                std = jnp.zeros_like(mean)
-            elif uq == "Dropout":
-                mean, std, mse, mae = V.validation_dropout(
-                    model, aux, a, u, step, T_out, samples, key)
-            elif uq == "Bayesian":
-                mean, std, mse, mae = V.validation_bayesian(
-                    model, aux, a, u, step, T_out, samples, key)
-            elif uq == "Ensemble":
-                mean, std, mse, mae = V.validation_ensemble(
-                    model, aux, a, u, step, T_out)
-            elif uq == "SWAG":
-                mean, std, mse, mae = V.validation_swag(
-                    model, aux, a, u, step, T_out, samples, key)
-            elif uq == "MLE":
-                mean, var, mse, mae = V.validation_mle(model, aux, a, u, step, T_out)
-                std = jnp.sqrt(var)
-            elif uq == "AER":
-                mean, qhat, mse, mae = V.validation_aer(
-                    model, aux, a, u, step, T_out, alpha)
-            elif uq == "PRE":
-                mean, qhat, mse, mae = V.validation_pre(
-                    model, aux, a, u, step, T_out, alpha, pre)
-            else:
+            def _validate(a_p, u_p):
+                """Per-element validators: (mean, std, mse, mae) for one
+                batch piece. Weight-space draws (Bayesian/SWAG) reuse the
+                same `key` per piece, so every piece sees the SAME posterior
+                samples and chunking is exact; dropout masks are
+                activation-shaped, so pieces draw different (equally iid)
+                masks — statistically equivalent, not bit-equal."""
+                if uq == "Deterministic":
+                    from ..train.rollout import validation_AR
+
+                    mean, mse, mae = validation_AR(
+                        lambda x: model.apply(aux, x), a_p, u_p, step, T_out)
+                    return mean, jnp.zeros_like(mean), mse, mae
+                if uq == "Dropout":
+                    return V.validation_dropout(
+                        model, aux, a_p, u_p, step, T_out, samples, key)
+                if uq == "Bayesian":
+                    return V.validation_bayesian(
+                        model, aux, a_p, u_p, step, T_out, samples, key)
+                if uq == "Ensemble":
+                    return V.validation_ensemble(
+                        model, aux, a_p, u_p, step, T_out)
+                if uq == "SWAG":
+                    return V.validation_swag(
+                        model, aux, a_p, u_p, step, T_out, samples, key)
+                if uq == "MLE":
+                    mean, var, mse, mae = V.validation_mle(
+                        model, aux, a_p, u_p, step, T_out)
+                    return mean, jnp.sqrt(var), mse, mae
                 raise ValueError(f"unknown UQ method {uq}")
-            mean = jax.block_until_ready(mean)
-            np.asarray(mean)  # force host sync on remote backends
+
+            if uq in ("AER", "PRE"):
+                # never chunked: the conformal quantile couples the batch
+                validate = V.validation_aer if uq == "AER" else V.validation_pre
+                extra = (alpha,) if uq == "AER" else (alpha, pre)
+                mean, qhat, mse, mae = validate(
+                    model, aux, a, u, step, T_out, *extra)
+                mean = jax.block_until_ready(mean)
+                np.asarray(mean)  # force host sync on remote backends
+            elif batch_chunk and a.shape[0] > batch_chunk:
+                # Batch chunking bounds device peak memory: the MC-sample
+                # rollouts' projection intermediate ([B, V, X, Y, 256]) and
+                # the stacked-sample output scale with B; at the MHD 10x150
+                # protocol the unchunked footprint ResourceExhausted'd a
+                # 16 GB v5e (2026-08-19). Each piece is fetched to host
+                # (which also drains the remote dispatch queue) before the
+                # next is dispatched.
+                ms, ss, w_mse, w_mae, n_tot = [], [], 0.0, 0.0, 0
+                for lo in range(0, a.shape[0], batch_chunk):
+                    sl = slice(lo, lo + batch_chunk)
+                    m_p, s_p, mse_p, mae_p = _validate(a[sl], u[sl])
+                    n_p = int(a[sl].shape[0])
+                    ms.append(np.asarray(m_p))
+                    ss.append(np.asarray(s_p))
+                    w_mse += float(mse_p) * n_p
+                    w_mae += float(mae_p) * n_p
+                    n_tot += n_p
+                mean, std = np.concatenate(ms), np.concatenate(ss)
+                mse, mae = w_mse / n_tot, w_mae / n_tot
+            else:
+                mean, std, mse, mae = _validate(a, u)
+                mean = jax.block_until_ready(mean)
+                np.asarray(mean)  # force host sync on remote backends
             dt = time.perf_counter() - t1
 
             if uq == "PRE":

@@ -44,6 +44,7 @@ def _fit_generic(model, a, u, cfg, train_step_factory, seed=0, rngs_per_step=Fal
     opt_state = tx.init(params)
     train_step = train_step_factory(apply_fn or model.apply, tx, step, T_out)
     key = jax.random.PRNGKey(seed)
+    loss = None
     for ep in range(cfg["Epochs"]):
         key, sub = jax.random.split(key)
         perm = jax.random.permutation(sub, a.shape[0])
@@ -51,9 +52,16 @@ def _fit_generic(model, a, u, cfg, train_step_factory, seed=0, rngs_per_step=Fal
             idx = perm[i : i + bs]
             if rngs_per_step:
                 key, k2 = jax.random.split(key)
-                params, opt_state, _ = train_step(params, opt_state, a[idx], u[idx], k2)
+                params, opt_state, loss = train_step(params, opt_state, a[idx], u[idx], k2)
             else:
-                params, opt_state, _ = train_step(params, opt_state, a[idx], u[idx])
+                params, opt_state, loss = train_step(params, opt_state, a[idx], u[idx])
+        # Host-fetch once per epoch: bounds the async dispatch queue on
+        # remote backends (an unsynced multi-hundred-step queue plus the
+        # eval dispatched on top of it ResourceExhausted'd the 16 GB v5e
+        # on the MHD 10x150 protocol, 2026-08-19). `block_until_ready`
+        # does NOT block through the axon tunnel — fetch a scalar instead.
+        if loss is not None:
+            float(loss)
     return params
 
 
@@ -179,6 +187,7 @@ def run(case: str = "Wave", config_path: str | None = None,
         alpha=cfg.get("alpha", 0.1), samples=cfg.get("samples", 10),
         runs=cfg.get("runs", 10), n_eval=cfg.get("n_eval", 300),
         pre=pre, seed=seed, verbose=verbose, on_method_done=on_method_done,
+        batch_chunk=cfg.get("batch_chunk"),
     )
 
 

@@ -55,6 +55,10 @@ FAMILY_OVERRIDES = {
         "runs": 10,
         "n_eval": 150,
         "samples": 10,
+        # 6 variables: the unchunked MC-eval footprint (fc1's
+        # [150, 6, 64, 64, 256] intermediate per sample) ResourceExhausted'd
+        # the 16 GB v5e twice (2026-08-19); 3 pieces of 50 bound it
+        "batch_chunk": 50,
     },
 }
 
@@ -97,7 +101,12 @@ def main(case: str = "Navier-Stokes", dist: str = "in"):
     prev = _load_existing().get(key, {})
     prev_proto = dict(prev.get("_protocol", {}))
     done = {}
-    if prev_proto.pop("_partial", False) and prev_proto == overrides:
+    # batch_chunk is a memory knob, not a protocol change (identical
+    # statistics, see cppre.uq.eval) — ignore it when deciding resumability
+    # so adding it doesn't throw away hours of banked per-method results.
+    _cmp_prev = {k: v for k, v in prev_proto.items() if k != "batch_chunk"}
+    _cmp_now = {k: v for k, v in overrides.items() if k != "batch_chunk"}
+    if _cmp_prev.pop("_partial", False) and _cmp_prev == _cmp_now:
         done = {k: v for k, v in prev.items()
                 if not k.startswith("_") and isinstance(v, dict) and "l2" in v}
         if done:
