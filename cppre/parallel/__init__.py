@@ -14,6 +14,12 @@ over ICI driven by `jax.sharding`:
 * **tp** — FNO spectral weights contract channels per (var, mode); sharding
   the output-channel dim over 'tp' turns the einsum into a GSPMD tensor-
   parallel matmul with an all-reduce XLA inserts automatically.
+* **pp** — the FNO's 6-block depth as GPipe stages
+  (`pipeline.make_pp_fno_apply`): each 'pp' rank owns 6/pp consecutive
+  Fourier blocks, microbatches rotate rank-to-rank via `lax.ppermute`, and
+  the skip state rides the same hop. Divides parameter HBM by pp with no
+  per-step weight all-gather, composes with dp on a ('dp', 'pp') mesh, and
+  is differentiable end-to-end (the backward replays the schedule reversed).
 * **sp** — for fields too large per chip, `halo.stencil_conv_sharded` runs
   the stencil with a shard_map halo exchange (collective permute of k//2
   ghost cells) instead of gathering the field; `halo.stencil_conv_sharded_2d`
@@ -32,6 +38,7 @@ from .sharding import (
     sharded_fused_cp_scores,
     make_sharded_train_step,
 )
+from .pipeline import make_pp_fno_apply, pp_supported
 from .halo import stencil_conv_sharded, stencil_conv_sharded_2d
 from .spectral import fft2_sharded, ifft2_sharded, spectral_circular_conv_sharded
 from .multihost import initialize, global_mesh
@@ -44,6 +51,8 @@ __all__ = [
     "make_sharded_fused_apply",
     "sharded_fused_cp_scores",
     "make_sharded_train_step",
+    "make_pp_fno_apply",
+    "pp_supported",
     "stencil_conv_sharded",
     "stencil_conv_sharded_2d",
     "fft2_sharded",

@@ -477,3 +477,46 @@ def test_sharded_fused_cp_scores_uneven_batch_exact(n_cal):
     got = sharded_fused_cp_scores(fn, t, p, mesh)
     assert got.shape == (n_cal,)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4)
+
+
+@needs_8
+@pytest.mark.parametrize("pp", [2, 3, 6])
+def test_pp_fno_forward_matches_single_device(pp):
+    """GPipe-pipelined FNO forward == model.apply for every stage count
+    that divides the 6-block stack (skip state crosses stage boundaries
+    for pp = 3 and 6)."""
+    from jax.sharding import Mesh
+
+    from cppre.models import FNO2d
+    from cppre.parallel import make_pp_fno_apply, pp_supported
+
+    model = FNO2d(T_in=1, step=1, modes1=4, modes2=4, num_vars=1, width_time=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 1, 16, 16, 1))
+    v = model.init(jax.random.PRNGKey(1), x)
+    mesh = Mesh(np.array(jax.devices()[:pp]), ("pp",))
+    assert pp_supported(mesh)
+    out = make_pp_fno_apply(model, v, mesh)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(model.apply(v, x)),
+                               atol=5e-6)
+
+
+@needs_8
+def test_pp_fno_composes_with_dp_uneven_batch_and_grad():
+    """pp composes with dp on a ('dp', 'pp') mesh; uneven batches are
+    zero-sample padded and cropped; jax.grad through the pipelined apply
+    (ppermute/psum transposes) matches the single-device gradient."""
+    from jax.sharding import Mesh
+
+    from cppre.models import FNO2d
+    from cppre.parallel import make_pp_fno_apply
+
+    model = FNO2d(T_in=1, step=1, modes1=4, modes2=4, num_vars=1, width_time=8)
+    x = jax.random.normal(jax.random.PRNGKey(2), (5, 1, 16, 16, 1))
+    v = model.init(jax.random.PRNGKey(1), x)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "pp"))
+    f = make_pp_fno_apply(model, v, mesh, dp_axis="dp")
+    np.testing.assert_allclose(np.asarray(f(x)), np.asarray(model.apply(v, x)),
+                               atol=5e-6)
+    g = jax.grad(lambda xx: jnp.sum(f(xx) ** 2))(x)
+    g_ref = jax.grad(lambda xx: jnp.sum(model.apply(v, xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-5)
