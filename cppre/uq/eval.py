@@ -68,6 +68,53 @@ def evaluate_uq_methods(
 
     for uq in methods:
         model, aux = model_factory(uq)
+
+        # ONE jitted validator per method, with the bootstrap arrays and the
+        # rng key as ARGUMENTS. The previous per-resample closures baked
+        # each resample's (a, u) into the jaxpr as constants, so every
+        # resample re-traced and re-compiled the full AR-rollout graph —
+        # compile, not rollout math, dominated the reported eval times
+        # (the reference's protocol reports eval wall-clock per method,
+        # `Other_UQ/Evaluation/Eval.py:411-424`). Statistics are unchanged:
+        # same keys, same math, same shapes.
+        def _validate_impl(a_p, u_p, key):
+            """Per-element validators: (mean, std, mse, mae) for one
+            batch piece. Weight-space draws (Bayesian/SWAG) reuse the
+            same `key` per piece, so every piece sees the SAME posterior
+            samples and chunking is exact; dropout masks are
+            activation-shaped, so pieces draw different (equally iid)
+            masks — statistically equivalent, not bit-equal."""
+            if uq == "Deterministic":
+                from ..train.rollout import validation_AR
+
+                mean, mse, mae = validation_AR(
+                    lambda x: model.apply(aux, x), a_p, u_p, step, T_out)
+                return mean, jnp.zeros_like(mean), mse, mae
+            if uq == "Dropout":
+                return V.validation_dropout(
+                    model, aux, a_p, u_p, step, T_out, samples, key)
+            if uq == "Bayesian":
+                return V.validation_bayesian(
+                    model, aux, a_p, u_p, step, T_out, samples, key)
+            if uq == "Ensemble":
+                return V.validation_ensemble(
+                    model, aux, a_p, u_p, step, T_out)
+            if uq == "SWAG":
+                return V.validation_swag(
+                    model, aux, a_p, u_p, step, T_out, samples, key)
+            if uq == "MLE":
+                mean, var, mse, mae = V.validation_mle(
+                    model, aux, a_p, u_p, step, T_out)
+                return mean, jnp.sqrt(var), mse, mae
+            raise ValueError(f"unknown UQ method {uq}")
+
+        _validate = jax.jit(_validate_impl)
+        if uq in ("AER", "PRE"):
+            _v = V.validation_aer if uq == "AER" else V.validation_pre
+            _extra = (alpha,) if uq == "AER" else (alpha, pre)
+            _validate_cp = jax.jit(
+                lambda a_p, u_p: _v(model, aux, a_p, u_p, step, T_out, *_extra))
+
         l2s, covs, jcovs, times = [], [], [], []
         for ii in range(runs):
             idx = _bootstrap_idx(rng, test_a.shape[0], n_eval)
@@ -76,43 +123,9 @@ def evaluate_uq_methods(
             t1 = time.perf_counter()
             qhat = None
 
-            def _validate(a_p, u_p):
-                """Per-element validators: (mean, std, mse, mae) for one
-                batch piece. Weight-space draws (Bayesian/SWAG) reuse the
-                same `key` per piece, so every piece sees the SAME posterior
-                samples and chunking is exact; dropout masks are
-                activation-shaped, so pieces draw different (equally iid)
-                masks — statistically equivalent, not bit-equal."""
-                if uq == "Deterministic":
-                    from ..train.rollout import validation_AR
-
-                    mean, mse, mae = validation_AR(
-                        lambda x: model.apply(aux, x), a_p, u_p, step, T_out)
-                    return mean, jnp.zeros_like(mean), mse, mae
-                if uq == "Dropout":
-                    return V.validation_dropout(
-                        model, aux, a_p, u_p, step, T_out, samples, key)
-                if uq == "Bayesian":
-                    return V.validation_bayesian(
-                        model, aux, a_p, u_p, step, T_out, samples, key)
-                if uq == "Ensemble":
-                    return V.validation_ensemble(
-                        model, aux, a_p, u_p, step, T_out)
-                if uq == "SWAG":
-                    return V.validation_swag(
-                        model, aux, a_p, u_p, step, T_out, samples, key)
-                if uq == "MLE":
-                    mean, var, mse, mae = V.validation_mle(
-                        model, aux, a_p, u_p, step, T_out)
-                    return mean, jnp.sqrt(var), mse, mae
-                raise ValueError(f"unknown UQ method {uq}")
-
             if uq in ("AER", "PRE"):
                 # never chunked: the conformal quantile couples the batch
-                validate = V.validation_aer if uq == "AER" else V.validation_pre
-                extra = (alpha,) if uq == "AER" else (alpha, pre)
-                mean, qhat, mse, mae = validate(
-                    model, aux, a, u, step, T_out, *extra)
+                mean, qhat, mse, mae = _validate_cp(a, u)
                 mean = jax.block_until_ready(mean)
                 np.asarray(mean)  # force host sync on remote backends
             elif batch_chunk and a.shape[0] > batch_chunk:
@@ -126,7 +139,7 @@ def evaluate_uq_methods(
                 ms, ss, w_mse, w_mae, n_tot = [], [], 0.0, 0.0, 0
                 for lo in range(0, a.shape[0], batch_chunk):
                     sl = slice(lo, lo + batch_chunk)
-                    m_p, s_p, mse_p, mae_p = _validate(a[sl], u[sl])
+                    m_p, s_p, mse_p, mae_p = _validate(a[sl], u[sl], key)
                     n_p = int(a[sl].shape[0])
                     ms.append(np.asarray(m_p))
                     ss.append(np.asarray(s_p))
@@ -136,7 +149,7 @@ def evaluate_uq_methods(
                 mean, std = np.concatenate(ms), np.concatenate(ss)
                 mse, mae = w_mse / n_tot, w_mae / n_tot
             else:
-                mean, std, mse, mae = _validate(a, u)
+                mean, std, mse, mae = _validate(a, u, key)
                 mean = jax.block_until_ready(mean)
                 np.asarray(mean)  # force host sync on remote backends
             dt = time.perf_counter() - t1
