@@ -11,6 +11,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, "/root/repo")
+
 
 def main():
     import jax

@@ -147,6 +147,41 @@ def test_eval_harness_smoke():
     assert banked[-1][1] == res["PRE"]
 
 
+def test_eval_harness_traces_once_per_method():
+    """Regression: the per-method validator must be jitted with the
+    bootstrap arrays as ARGUMENTS, so resamples after the first reuse the
+    compiled rollout. The pre-fix code rebuilt the closure per resample,
+    baking each bootstrap's data in as jaxpr constants — one full
+    re-trace + re-compile per resample, which dominated the protocol's
+    reported eval wall-clock (see cppre/uq/eval.py)."""
+    from cppre.uq.eval import evaluate_uq_methods
+
+    base = FNO2d(**KW)
+    p = base.init(jax.random.PRNGKey(0), X)
+    traces = {"n": 0}
+    real_apply = base.apply
+
+    class _Counting:
+        """Duck-typed model: counts trace entries of apply."""
+
+        def apply(self, *args, **kw):
+            traces["n"] += 1
+            return real_apply(*args, **kw)
+
+    a = jnp.ones((6, 1, 16, 16, 1))
+    u = jnp.ones((6, 1, 16, 16, 4))
+    evaluate_uq_methods(
+        methods=["Deterministic"], model_factory=lambda uq: (_Counting(), p),
+        test_a=a, test_u=u, step=1, T_out=4, runs=4, n_eval=4, samples=2,
+        verbose=False)
+    # one trace for the single rollout-shape signature, regardless of the
+    # number of resamples (scan traces its body twice: trace + lowering is
+    # still bounded by a constant, not by `runs`)
+    assert traces["n"] <= 2, (
+        f"validator re-traced per resample: {traces['n']} apply traces "
+        "for 4 resamples")
+
+
 def test_eval_harness_batch_chunk_parity():
     """`batch_chunk` is a device-memory knob, not a protocol change: the
     per-element methods must produce identical statistics chunked (uneven
