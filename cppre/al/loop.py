@@ -66,16 +66,24 @@ def active_learning_loop(
     else:
         train_apply = model.apply
     test_mse, sims_sampled = [], []
-    apply_fn = lambda x: model.apply(params, x)
-    _, mse0, _ = validation_AR(apply_fn, test_a, test_u, step, T_out)
+
+    # ONE jitted rollout-eval with params as an ARGUMENT: the per-iteration
+    # closures would bake the freshly fine-tuned params in as jaxpr
+    # constants and re-compile the AR rollout every iteration (twice: pool
+    # + test). Two shape signatures (pool, test) compile once each and are
+    # reused across all iterations.
+    @jax.jit
+    def _rollout_eval(p, a, u):
+        return validation_AR(lambda x: model.apply(p, x), a, u, step, T_out)
+
+    _, mse0, _ = _rollout_eval(params, test_a, test_u)
     test_mse.append(float(mse0))
 
     for ii in range(n_iterations):
         pool = sample_params(lb, ub, n_pred, seed=seed * 100 + ii)
         pool_a, _ = gen_fields(pool)
-        pred, _, _ = validation_AR(
-            lambda x: model.apply(params, x), pool_a,
-            jnp.zeros(pool_a.shape[:-1] + (T_out,)), step, T_out)
+        pred, _, _ = _rollout_eval(
+            params, pool_a, jnp.zeros(pool_a.shape[:-1] + (T_out,)))
         pred_residual = residual_of(pred)
 
         if acq_func == "CP":
@@ -109,8 +117,7 @@ def active_learning_loop(
                      batch_size=batch_size, step=step, T_out=T_out,
                      loss_func=loss_func, lr=lr, seed=seed + ii)
 
-        _, mse, _ = validation_AR(
-            lambda x: model.apply(params, x), test_a, test_u, step, T_out)
+        _, mse, _ = _rollout_eval(params, test_a, test_u)
         test_mse.append(float(mse))
         sims_sampled.append(int(len(chosen)))
         if verbose:
