@@ -21,7 +21,7 @@ from ..models.variants import FNO2dBayesian, make_dropout_fno, make_mle_fno
 from ..train.loops import fit, make_optimizer
 from ..train.losses import lp_loss
 from ..train.normalizers import MinMaxNormalizer
-from ..utils.checkpoint import checkpoint_name, load_checkpoint
+from ..utils.checkpoint import checkpoint_name, load_checkpoint, save_checkpoint
 from ..utils.config import load_config
 from . import data_loaders
 from .eval import evaluate_uq_methods
@@ -111,14 +111,57 @@ def run(case: str = "Wave", config_path: str | None = None,
 
     _cache = {}
 
+    # Trained-params disk cache (opt-in via `train_cache_dir`): training is
+    # the expensive half of the protocol (60 epochs per method on the
+    # remote chip) and the tunnel flaps — a killed run that had finished a
+    # method's training but not its eval would otherwise retrain from
+    # scratch on resume. Weights are keyed by a fingerprint of every
+    # config field that determines them, so a protocol change invalidates
+    # the cache rather than silently reusing stale weights. Same seeds ->
+    # same training trajectory, so cached weights are exactly what a fresh
+    # run would produce.
+    cache_dir = cfg.get("train_cache_dir")
+    if cache_dir:
+        import hashlib
+        import json as _json
+
+        _fp_src = {k: cfg.get(k) for k in (
+            "Case", "Dist", "Epochs", "Batch Size", "Learning Rate",
+            "Scheduler Step", "Scheduler Gamma", "T_in", "T_out", "Step",
+            "Modes", "Width_time", "Variables", "Seed", "n_total",
+            "n_train_eval", "Train Precision", "n_ensemble")}
+        _fp = hashlib.sha1(_json.dumps(_fp_src, sort_keys=True, default=str)
+                           .encode()).hexdigest()[:12]
+
+    def _cache_path(tag):
+        return os.path.join(cache_dir, f"uq_{cfg['Case']}_{tag}_{_fp}")
+
+    def _cache_load(tag, template):
+        if not cache_dir:
+            return None
+        path = _cache_path(tag)
+        if not os.path.exists(path + ".ckpt"):
+            return None
+        if verbose:
+            print(f"[train-cache] {tag} <- {path}.ckpt", flush=True)
+        return load_checkpoint(path, template)
+
+    def _cache_store(tag, params):
+        if cache_dir:
+            save_checkpoint(_cache_path(tag), params)
+
     def _base_params():
         if "base" not in _cache:
             model = FNO2d(**kw)
             p0 = model.init(jax.random.PRNGKey(seed), tr_a[:1])
-            _cache["base"] = fit(_train_apply(model), p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
-                                 epochs=cfg["Epochs"], batch_size=min(cfg["Batch Size"], n_train),
-                                 step=step, T_out=T_out, loss_func=lp_loss,
-                                 lr=cfg["Learning Rate"], seed=seed)
+            cached = _cache_load("base", p0)
+            if cached is None:
+                cached = fit(_train_apply(model), p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
+                             epochs=cfg["Epochs"], batch_size=min(cfg["Batch Size"], n_train),
+                             step=step, T_out=T_out, loss_func=lp_loss,
+                             lr=cfg["Learning Rate"], seed=seed)
+                _cache_store("base", cached)
+            _cache["base"] = cached
         return _cache["base"]
 
     def _maybe_load(model, uq):
@@ -143,40 +186,66 @@ def run(case: str = "Wave", config_path: str | None = None,
         if uq == "Dropout":
             model = make_dropout_fno(**kw)
             p0 = model.init({"params": jax.random.PRNGKey(seed)}, tr_a[:1])
-            params = fit(_train_apply(model), p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
-                         epochs=cfg["Epochs"], batch_size=min(cfg["Batch Size"], n_train),
-                         step=step, T_out=T_out, loss_func=lp_loss,
-                         lr=cfg["Learning Rate"], seed=seed)
+            params = _cache_load("dropout", p0)
+            if params is None:
+                params = fit(_train_apply(model), p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
+                             epochs=cfg["Epochs"], batch_size=min(cfg["Batch Size"], n_train),
+                             step=step, T_out=T_out, loss_func=lp_loss,
+                             lr=cfg["Learning Rate"], seed=seed)
+                _cache_store("dropout", params)
             return model, params
         if uq == "Bayesian":
             model = FNO2dBayesian(**kw)
-            params = _fit_generic(model, tr_a, tr_u, cfg, make_bayesian_train_step,
-                                  seed, rngs_per_step=True,
-                                  apply_fn=_train_apply(model))
+            rngs0 = {"params": jax.random.PRNGKey(seed),
+                     "bayes": jax.random.PRNGKey(seed + 1)}
+            params = _cache_load("bayesian", model.init(rngs0, tr_a[:1]))
+            if params is None:
+                params = _fit_generic(model, tr_a, tr_u, cfg, make_bayesian_train_step,
+                                      seed, rngs_per_step=True,
+                                      apply_fn=_train_apply(model))
+                _cache_store("bayesian", params)
             return model, params
         if uq == "MLE":
             model = make_mle_fno(**kw)
-            params = _fit_generic(model, tr_a, tr_u, cfg, make_mle_train_step, seed,
-                                  apply_fn=_train_apply(model))
+            rngs0 = {"params": jax.random.PRNGKey(seed),
+                     "bayes": jax.random.PRNGKey(seed + 1)}
+            params = _cache_load("mle", model.init(rngs0, tr_a[:1]))
+            if params is None:
+                params = _fit_generic(model, tr_a, tr_u, cfg, make_mle_train_step, seed,
+                                      apply_fn=_train_apply(model))
+                _cache_store("mle", params)
             return model, params
         if uq == "Ensemble":
             model = FNO2d(**kw)
             members = []
             for s in range(cfg.get("n_ensemble", 5)):
                 p0 = model.init(jax.random.PRNGKey(seed + 100 + s), tr_a[:1])
-                members.append(fit(_train_apply(model), p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
-                                   epochs=cfg["Epochs"],
-                                   batch_size=min(cfg["Batch Size"], n_train),
-                                   step=step, T_out=T_out, loss_func=lp_loss,
-                                   lr=cfg["Learning Rate"], seed=seed + s))
+                member = _cache_load(f"ens{s}", p0)
+                if member is None:
+                    member = fit(_train_apply(model), p0, tr_a, tr_u, tr_a[-2:], tr_u[-2:],
+                                 epochs=cfg["Epochs"],
+                                 batch_size=min(cfg["Batch Size"], n_train),
+                                 step=step, T_out=T_out, loss_func=lp_loss,
+                                 lr=cfg["Learning Rate"], seed=seed + s)
+                    _cache_store(f"ens{s}", member)
+                members.append(member)
             return model, members
         if uq == "SWAG":
             model = FNO2d(**kw)
             p0 = model.init(jax.random.PRNGKey(seed), tr_a[:1])
-            swag = fit_swag(_train_apply(model), p0, tr_a, tr_u, epochs=cfg["Epochs"],
-                            batch_size=min(cfg["Batch Size"], n_train), step=step,
-                            T_out=T_out, loss_func=lp_loss,
-                            lr=cfg["Learning Rate"], seed=seed)
+            if cache_dir and os.path.exists(_cache_path("swag") + ".npz"):
+                if verbose:
+                    print(f"[train-cache] swag <- {_cache_path('swag')}.npz",
+                          flush=True)
+                swag = SWAG(p0).load(_cache_path("swag") + ".npz")
+            else:
+                swag = fit_swag(_train_apply(model), p0, tr_a, tr_u, epochs=cfg["Epochs"],
+                                batch_size=min(cfg["Batch Size"], n_train), step=step,
+                                T_out=T_out, loss_func=lp_loss,
+                                lr=cfg["Learning Rate"], seed=seed)
+                if cache_dir:
+                    os.makedirs(cache_dir, exist_ok=True)
+                    swag.save(_cache_path("swag") + ".npz")
             return model, swag
         raise ValueError(f"unknown UQ method {uq}")
 

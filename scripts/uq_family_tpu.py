@@ -19,6 +19,11 @@ import time
 sys.path.insert(0, "/root/repo")
 
 OVERRIDES = {
+    # flap-tolerance: trained weights cache to disk keyed by a protocol
+    # fingerprint, so a tunnel drop mid-protocol only loses eval work
+    # (cppre/uq/run_eval.py). /tmp is fine — the cache only needs to
+    # survive within one campaign.
+    "train_cache_dir": "/tmp/uq_train_cache",
     "Train Precision": "default",  # bf16 MXU training; eval stays HIGHEST
     "Epochs": 60,
     "n_total": 120,
@@ -101,18 +106,22 @@ def main(case: str = "Navier-Stokes", dist: str = "in"):
     prev = _load_existing().get(key, {})
     prev_proto = dict(prev.get("_protocol", {}))
     done = {}
-    # batch_chunk is a memory knob, not a protocol change (identical
-    # statistics, see cppre.uq.eval) — ignore it when deciding resumability
-    # so adding it doesn't throw away hours of banked per-method results.
-    _cmp_prev = {k: v for k, v in prev_proto.items() if k != "batch_chunk"}
-    _cmp_now = {k: v for k, v in overrides.items() if k != "batch_chunk"}
+    # batch_chunk is a memory knob and train_cache_dir a resume knob, not
+    # protocol changes (identical statistics, see cppre.uq.eval /
+    # run_eval) — ignore them when deciding resumability so adding either
+    # doesn't throw away hours of banked per-method results.
+    _NONPROTO = ("batch_chunk", "train_cache_dir")
+    _cmp_prev = {k: v for k, v in prev_proto.items() if k not in _NONPROTO}
+    _cmp_now = {k: v for k, v in overrides.items() if k not in _NONPROTO}
     if _cmp_prev.pop("_partial", False) and _cmp_prev == _cmp_now:
         done = {k: v for k, v in prev.items()
                 if not k.startswith("_") and isinstance(v, dict) and "l2" in v}
         if done:
             print(f"resuming {key}: keeping {sorted(done)}", flush=True)
 
-    partial = {"_protocol": dict(overrides, _partial=True)}
+    # the stored protocol omits the cache path (host-local, non-statistical)
+    proto_store = {k: v for k, v in overrides.items() if k != "train_cache_dir"}
+    partial = {"_protocol": dict(proto_store, _partial=True)}
     partial.update(done)
 
     def bank(uq, result):
@@ -130,7 +139,7 @@ def main(case: str = "Navier-Stokes", dist: str = "in"):
               skip=tuple(done))
     res.update({k: v for k, v in done.items() if k not in res})
     res["_wall_s"] = time.perf_counter() - t0
-    res["_protocol"] = dict(overrides)
+    res["_protocol"] = dict(proto_store)
 
     existing = _load_existing()
     existing[key] = res

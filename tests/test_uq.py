@@ -259,6 +259,48 @@ def test_run_eval_end_to_end_with_train_precision():
         assert np.isfinite(r["l2"][0])
 
 
+def test_run_eval_train_cache_roundtrip(tmp_path):
+    """With `train_cache_dir` set, a second run of the SAME protocol loads
+    every method's trained weights from disk and reproduces the first
+    run's statistics exactly (flap-tolerance for the remote-chip
+    campaigns); a protocol change (different Epochs) must MISS the cache
+    (fingerprint-keyed filenames)."""
+    from cppre.uq.run_eval import run
+
+    ov = {
+        "UQ": ["Deterministic", "Ensemble", "SWAG", "Bayesian"],
+        "Epochs": 1,
+        "n_total": 6,
+        "n_train_eval": 3,
+        "runs": 1,
+        "n_eval": 2,
+        "samples": 2,
+        "n_ensemble": 2,
+        "Batch Size": 3,
+        "T_out": 4,
+        "Modes": 4,
+        "Width_time": 8,
+        "train_cache_dir": str(tmp_path),
+    }
+    res1 = run("Wave", overrides=dict(ov), verbose=False)
+    files = sorted(p.name for p in tmp_path.iterdir())
+    # base (Deterministic) + 2 ensemble members + swag.npz + bayesian
+    assert any(f.startswith("uq_Wave_base_") for f in files)
+    assert any(f.startswith("uq_Wave_ens0_") for f in files)
+    assert any(f.startswith("uq_Wave_swag_") and f.endswith(".npz") for f in files)
+    assert any(f.startswith("uq_Wave_bayesian_") for f in files)
+
+    res2 = run("Wave", overrides=dict(ov), verbose=False)
+    for m in res1:
+        assert res1[m]["l2"] == res2[m]["l2"], m
+        assert res1[m]["coverage"] == res2[m]["coverage"], m
+
+    # protocol change -> different fingerprint -> no stale reuse
+    n_before = len(list(tmp_path.iterdir()))
+    run("Wave", overrides=dict(ov, Epochs=2, UQ=["Deterministic"]), verbose=False)
+    assert len(list(tmp_path.iterdir())) > n_before
+
+
 def test_run_eval_skip_and_bf16_precision():
     """`skip=` drops already-banked methods (the per-method resume path in
     scripts/uq_family_tpu.py) and `Train Precision: bf16` routes training
