@@ -459,7 +459,7 @@ def wave_residual_fused(field, kernel, interpret: bool | None = None):
 
 def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
                          out_shape=None, chunked_fn=None,
-                         samples_per_block: int = 1):
+                         samples_per_block: int = 1, diff_dtype=None):
     """One-pass joint-CP front end: reads the truth and prediction field
     tensors once, emits (diff_residual [BS, *out], sum [*out], sumsq [*out])
     where diff = PRE(truth) - PRE(pred) and the moment accumulators give the
@@ -474,15 +474,30 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
     the same block for every grid step, so programs accumulate across the
     batch (initialised at b == 0). This removes two residual-tensor HBM
     round-trips vs computing res_out/res_pred separately and reducing with
-    jnp.std."""
+    jnp.std.
+
+    `diff_dtype` (optional, e.g. jnp.bfloat16) stores the staged diff
+    tensor narrower. The diff write + score-pass re-read is 146 MB of the
+    NS flagship's 652 MB pipeline traffic; bf16 halves it (~13% less
+    traffic). The moments always accumulate from the f32 diff, so the
+    modulation is exact; only the scored |diff| is rounded (~2^-9 relative
+    — diff is a POST-cancellation residual difference, unlike the bf16
+    field-storage negative result in BASELINE.md), and the rounding law is
+    identical for calibration and prediction samples scored in the same
+    call, so exchangeability is untouched. Every routing path applies the
+    same cast, keeping scores routing-independent."""
     bs, nvar, nt, nx, ny = truth.shape
     if out_shape is None:
         out_shape = (nt - 2, nx - 2, ny - 2)
+    d_dtype = diff_dtype or truth.dtype
+
+    def _cast3(diff, s, sq):
+        return diff.astype(d_dtype), s, sq
 
     def _xla_path():
         f = jax.vmap(math_fn)
         diff = f(truth) - f(prediction)
-        return diff, jnp.sum(diff, axis=0), jnp.sum(diff**2, axis=0)
+        return _cast3(diff, jnp.sum(diff, axis=0), jnp.sum(diff**2, axis=0))
 
     def _composed_path():
         # the measured-fastest mid-shape strategy (BASELINE.md roofline):
@@ -491,7 +506,7 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
         ro = _batched_residual_fused(truth, math_fn, None, out_shape)
         rp = _batched_residual_fused(prediction, math_fn, None, out_shape)
         diff = ro - rp
-        return diff, jnp.sum(diff, axis=0), jnp.sum(diff**2, axis=0)
+        return _cast3(diff, jnp.sum(diff, axis=0), jnp.sum(diff**2, axis=0))
 
     # VMEM budget: two double-buffered input blocks + diff out + stats. The
     # v5e grants ~120 MiB scoped VMEM (probe_vmem.py), so the paired
@@ -521,7 +536,7 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
         route = routing_decision(truth.shape, out_shape,
                                  chunked_fn is not None)
         if route == "chunked":
-            return chunked_fn()
+            return _cast3(*chunked_fn())
         if route == "composed":
             return _composed_path()
         interpret = False
@@ -543,7 +558,7 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
         acc_s = acc_q = None
         for i in range(g):
             d = math_fn(t_ref[i]) - math_fn(p_ref[i])
-            diff_ref[i] = d
+            diff_ref[i] = d.astype(d_dtype)
             acc_s = d if acc_s is None else acc_s + d
             acc_q = d * d if acc_q is None else acc_q + d * d
 
@@ -564,7 +579,7 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
     return pl.pallas_call(
         kernel_fn,
         out_shape=(
-            jax.ShapeDtypeStruct((bs,) + out_shape, truth.dtype),
+            jax.ShapeDtypeStruct((bs,) + out_shape, d_dtype),
             jax.ShapeDtypeStruct(out_shape, truth.dtype),
             jax.ShapeDtypeStruct(out_shape, truth.dtype),
         ),
@@ -583,15 +598,18 @@ def _joint_cp_diff_stats(truth, prediction, math_fn, interpret: bool | None,
 
 def _scores_from_diff_stats(diff, s, sq, n: int, eps: float):
     """modulation std from the one-pass moments, then the per-sample
-    sup-norm nonconformity score (modulation_func + ncf_metric_joint)."""
+    sup-norm nonconformity score (modulation_func + ncf_metric_joint).
+    A narrow staged diff (diff_dtype) is upcast before the division, so
+    the score arithmetic itself is always f32."""
     mean = s / n
     mod = jnp.sqrt(jnp.maximum(sq / n - mean**2, 0.0)) + eps
-    return jnp.max(jnp.abs(diff) / mod, axis=tuple(range(1, diff.ndim)))
+    return jnp.max(jnp.abs(diff.astype(s.dtype)) / mod,
+                   axis=tuple(range(1, diff.ndim)))
 
 
 def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
                            nu: float = 0.001, interpret: bool | None = None,
-                           samples_per_block: int = 1):
+                           samples_per_block: int = 1, diff_dtype=None):
     """NS-momentum instance of `_joint_cp_diff_stats` (docstring there).
 
     Shapes whose paired whole-trajectory blocks exceed VMEM route to the
@@ -606,25 +624,30 @@ def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
                                                      dt, dx, dy, nu)
     return _joint_cp_diff_stats(truth, prediction, math_fn, interpret,
                                 chunked_fn=chunked,
-                                samples_per_block=samples_per_block)
+                                samples_per_block=samples_per_block,
+                                diff_dtype=diff_dtype)
 
 
 def ns_joint_cp_scores_fused(truth, prediction, dt: float, dx: float,
                              dy: float, nu: float = 0.001, eps: float = 1e-6,
                              interpret: bool | None = None,
-                             samples_per_block: int = 1):
+                             samples_per_block: int = 1, diff_dtype=None):
     """Full joint-CP nonconformity scores in two fused passes:
     per-sample sup-norm of |diff| / (std(diff, axis=0) + eps).
-    Matches modulation_func + ncf_metric_joint over the NS momentum PRE."""
+    Matches modulation_func + ncf_metric_joint over the NS momentum PRE.
+    `diff_dtype=jnp.bfloat16` halves the staged-diff traffic (see
+    `_joint_cp_diff_stats`)."""
     diff, s, sq = ns_joint_cp_diff_stats(truth, prediction, dt, dx, dy, nu,
                                          interpret=interpret,
-                                         samples_per_block=samples_per_block)
+                                         samples_per_block=samples_per_block,
+                                         diff_dtype=diff_dtype)
     return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
 
 
 def mhd_induction_joint_cp_scores_fused(truth, prediction, eps: float = 1e-6,
                                         interpret: bool | None = None,
-                                        samples_per_block: int = 1):
+                                        samples_per_block: int = 1,
+                                        diff_dtype=None):
     """Joint-CP nonconformity scores over the MHD induction PRE, one fused
     read of each 6-field tensor (reference flow `Joint/MHD_Residuals_CP.py:
     349-352`: modulation_func(+1e-6 guard) + ncf_metric_joint)."""
@@ -634,13 +657,14 @@ def mhd_induction_joint_cp_scores_fused(truth, prediction, eps: float = 1e-6,
                                                       "induction")
     diff, s, sq = _joint_cp_diff_stats(truth, prediction, math_fn, interpret,
                                        chunked_fn=chunked,
-                                       samples_per_block=samples_per_block)
+                                       samples_per_block=samples_per_block,
+                                       diff_dtype=diff_dtype)
     return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
 
 
 def wave_joint_cp_scores_fused(truth, prediction, kernel, eps: float = 1e-6,
                                interpret: bool | None = None,
-                               samples_per_block: int = 1):
+                               samples_per_block: int = 1, diff_dtype=None):
     """Joint-CP nonconformity scores over the wave composite-kernel PRE
     (`Joint/Wave_Residuals_CP.py:219-220`). truth/prediction
     [BS, Nt, Nx, Ny] single-variable trajectories; kernel the additive
@@ -659,7 +683,8 @@ def wave_joint_cp_scores_fused(truth, prediction, kernel, eps: float = 1e-6,
                                                            kernel)
     diff, s, sq = _joint_cp_diff_stats(truth[:, None], prediction[:, None],
                                        math_fn, interpret, out_shape,
-                                       chunked_fn=chunked)
+                                       chunked_fn=chunked,
+                                       diff_dtype=diff_dtype)
     return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
 
 

@@ -64,6 +64,10 @@ STAGES = [
      ["python", "scripts/uq_family_tpu.py", "Wave", "out"], 12000),
     ("uq_ns_ood", None,
      ["python", "scripts/uq_family_tpu.py", "Navier-Stokes", "out"], 12000),
+    ("kernel_check", None,
+     ["python", "scripts/tpu_kernel_check.py"], 1200),
+    ("bench_diff_dtype", None,
+     ["python", "scripts/bench_diff_dtype.py"], 900),
     ("bench_confirm", None,
      ["python", "bench.py"], 2400),
 ]

@@ -70,6 +70,22 @@ def _ns():
     _close(ns_joint_cp_scores_fused(t, p, 0.01, 0.01, 0.01), ref, 1e-3, "ns")
 
 
+@check("ns_scores_bf16_diff")
+def _ns_bf16():
+    """bf16 staged-diff variant: Mosaic must lower the in-kernel f32->bf16
+    store (bf16 uses (16, 128) tiles) and scores must match f32 staging to
+    bf16 resolution (~2^-9 relative on the scored |diff|)."""
+    from cppre.ops.pallas import ns_joint_cp_scores_fused
+
+    rng = np.random.default_rng(1)
+    t = jnp.asarray(rng.standard_normal((4, 3, 7, 16, 16)), jnp.float32)
+    p = t + 0.05
+    s32 = ns_joint_cp_scores_fused(t, p, 0.01, 0.01, 0.01)
+    s16 = ns_joint_cp_scores_fused(t, p, 0.01, 0.01, 0.01,
+                                   diff_dtype=jnp.bfloat16)
+    _close(s16, s32, 1e-2, "ns bf16 diff")
+
+
 @check("mhd_induction_scores")
 def _mhd():
     from cppre.cp.inductive import modulation_func, ncf_metric_joint
@@ -161,7 +177,7 @@ def _chunked():
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    for fn in [_stencil, _ns, _mhd, _jorek, _fno_fwd, _fno_fwd_pad,
+    for fn in [_stencil, _ns, _ns_bf16, _mhd, _jorek, _fno_fwd, _fno_fwd_pad,
                _fno_grad, _chunked]:
         fn()
     bad = {k: v for k, v in RESULTS.items() if v != "ok"}

@@ -69,6 +69,36 @@ def test_fused_joint_cp_scores_match_reference_path(interpret):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-3)
 
 
+@pytest.mark.parametrize("interpret", [None, True])
+def test_joint_cp_scores_bf16_diff_staging(interpret):
+    """`diff_dtype=bfloat16` halves the staged-diff HBM traffic; the
+    moments (and hence the modulation) stay exact f32, only the scored
+    |diff| is rounded (~2^-9 relative). Scores must match the f32 staging
+    to bf16 resolution, be routing-independent (the XLA fallback casts at
+    the same point as the Pallas kernel), and the CP guarantee is
+    untouched because calibration and prediction samples scored in one
+    call see the identical rounding law."""
+    from cppre.ops.pallas.stencil_kernels import ns_joint_cp_scores_fused
+
+    rng = np.random.default_rng(7)
+    truth = jnp.asarray(rng.standard_normal((6, 3, 8, 16, 24)), jnp.float32)
+    pred = truth + 0.1 * jnp.asarray(rng.standard_normal(truth.shape), jnp.float32)
+    dt, dx, dy, nu = 0.01, 0.02, 0.02, 1e-3
+    s32 = ns_joint_cp_scores_fused(truth, pred, dt, dx, dy, nu,
+                                   interpret=interpret)
+    s16 = ns_joint_cp_scores_fused(truth, pred, dt, dx, dy, nu,
+                                   interpret=interpret,
+                                   diff_dtype=jnp.bfloat16)
+    assert s16.dtype == jnp.float32  # scores themselves stay f32
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), rtol=1e-2)
+    # bf16 staging must agree across routings (Pallas vs XLA fallback)
+    s16_xla = ns_joint_cp_scores_fused(truth, pred, dt, dx, dy, nu,
+                                       interpret=None,
+                                       diff_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s16_xla),
+                               rtol=1e-5)
+
+
 def test_chunked_diff_stats_matches_whole_block():
     from cppre.ops.pallas.stencil_kernels import (
         ns_joint_cp_diff_stats,
