@@ -960,7 +960,8 @@ def jorek_joint_cp_scores_fused(truth, prediction, R, Dc: float = 3.4,
                                 K: float = 2.25e-7,
                                 equation: str = "continuity",
                                 eps: float = 1e-6,
-                                interpret: bool | None = None):
+                                interpret: bool | None = None,
+                                diff_dtype=None):
     """Joint-CP nonconformity scores over a JOREK reduced-MHD PRE
     (`Joint/JOREK_residuals_CP.py` flow: modulation_func(+eps guard) +
     ncf_metric_joint), one fused read of each [BS, 3, Nt, NR, NZ] tensor.
@@ -971,13 +972,16 @@ def jorek_joint_cp_scores_fused(truth, prediction, R, Dc: float = 3.4,
     if aff is None:
         diff, s, sq = _jorek_xla_diff_stats(truth, prediction, R, Dc, K,
                                             equation)
+        if diff_dtype is not None:  # same cast point as every other route
+            diff = diff.astype(diff_dtype)
         return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
     r0, dr = aff
     math_fn = lambda f: _jorek_math(equation, f, nt, nx, ny, r0, dr, Dc, K)
     chunked = lambda: jorek_joint_cp_diff_stats_chunked(
         truth, prediction, R, Dc, K, equation)
     diff, s, sq = _joint_cp_diff_stats(truth, prediction, math_fn, interpret,
-                                       chunked_fn=chunked)
+                                       chunked_fn=chunked,
+                                       diff_dtype=diff_dtype)
     return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
 
 
