@@ -43,6 +43,7 @@ def evaluate_uq_methods(
     verbose: bool = True,
     on_method_done: Callable[[str, dict], None] | None = None,
     batch_chunk: int | None = None,
+    mesh=None,
 ) -> Dict[str, dict]:
     """Returns {method: {l2, coverage, joint_coverage, eval_time: (mean, std)}}.
 
@@ -60,11 +61,34 @@ def evaluate_uq_methods(
     remote chip) can bank partial results: a killed run keeps every
     finished method (reference protocol trains per-method sequentially
     too, `Other_UQ/Evaluation/Eval.py:107-259`).
+
+    `mesh` (optional `jax.sharding.Mesh` with a 'dp' axis) dp-shards every
+    validation rollout over the eval batch — samples are embarrassingly
+    parallel, so the jitted validator partitions declaratively. Bootstrap
+    batches are zero-padded to the dp extent and cropped after (pad rows
+    never mix with real ones along the batch axis); L2/MAE are recomputed
+    on the cropped mean so padding cannot dilute them. For AER/PRE the
+    conformal quantile is computed from the CROPPED rollout inside the
+    same jitted call, so pad rows never enter calibration and every real
+    sample rides one batched rollout (the exchangeability contract,
+    RESULTS.md).
     """
     rng = np.random.default_rng(seed)
     results = {}
     test_a = jnp.asarray(test_a)
     test_u = jnp.asarray(test_u)
+    if mesh is not None and batch_chunk:
+        raise ValueError("mesh= and batch_chunk= are exclusive: chunking is "
+                         "a single-chip memory knob; on a mesh the batch is "
+                         "already divided across devices")
+
+    def _pad_shard(x, dp):
+        pad_n = (-x.shape[0]) % dp
+        if pad_n:
+            x = jnp.pad(x, ((0, pad_n),) + ((0, 0),) * (x.ndim - 1))
+        from ..parallel import shard_batch
+
+        return shard_batch(x, mesh)
 
     for uq in methods:
         model, aux = model_factory(uq)
@@ -124,10 +148,27 @@ def evaluate_uq_methods(
             qhat = None
 
             if uq in ("AER", "PRE"):
-                # never chunked: the conformal quantile couples the batch
-                mean, qhat, mse, mae = _validate_cp(a, u)
+                # never chunked: the conformal quantile couples the batch.
+                # Under a mesh only the rollout input is padded+sharded;
+                # the validator crops the rollout to u's batch before
+                # scoring, so pad rows never enter the quantile.
+                a_in = a if mesh is None else _pad_shard(a, mesh.shape["dp"])
+                mean, qhat, mse, mae = _validate_cp(a_in, u)
                 mean = jax.block_until_ready(mean)
                 np.asarray(mean)  # force host sync on remote backends
+            elif mesh is not None:
+                n_real = a.shape[0]
+                dp = mesh.shape["dp"]
+                mean, std, _, _ = _validate(_pad_shard(a, dp),
+                                            _pad_shard(u, dp), key)
+                # crop the pad rows and recompute the metrics on the real
+                # rows only (the in-validator mse/mae averaged over padded
+                # zero-vs-zero rows, diluting them)
+                mean = np.asarray(mean)[:n_real]
+                std = np.asarray(std)[:n_real]
+                u_np = np.asarray(u)
+                mse = float(np.mean((mean - u_np) ** 2))
+                mae = float(np.mean(np.abs(mean - u_np)))
             elif batch_chunk and a.shape[0] > batch_chunk:
                 # Batch chunking bounds device peak memory: the MC-sample
                 # rollouts' projection intermediate ([B, V, X, Y, 256]) and

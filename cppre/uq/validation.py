@@ -152,8 +152,13 @@ def _stack_chunks(chunks, step):
 
 def validation_aer(model, params, test_a, test_u, step, T_out, alpha):
     """Absolute-error-residual CP: qhat from |pred - truth|
-    (training_utils.py:445-475)."""
+    (training_utils.py:445-475).
+
+    `test_a` may carry zero-padded tail rows (dp-sharded eval pads the
+    batch to the mesh extent); the rollout is cropped to `test_u`'s batch
+    before scoring, so pad rows never enter the conformal quantile."""
     pred = autoregressive_rollout(lambda x: model.apply(params, x), test_a, step, T_out)
+    pred = pred[: test_u.shape[0]]
     scores = jnp.abs(pred - test_u)
     qhat = calibrate(scores, pred.shape[0], alpha)
     return (pred, qhat) + _metrics(pred, test_u)
@@ -162,8 +167,10 @@ def validation_aer(model, params, test_a, test_u, step, T_out, alpha):
 def validation_pre(model, params, test_a, test_u, step, T_out, alpha, pre):
     """Physics-residual CP: qhat from |PRE(pred)|
     (training_utils.py:481-512). `pre` is a residual class with
-    `.residual(fields)` over [B, Nvar, Nt, Nx, Ny]."""
+    `.residual(fields)` over [B, Nvar, Nt, Nx, Ny]. Pad-row cropping as in
+    `validation_aer`."""
     pred = autoregressive_rollout(lambda x: model.apply(params, x), test_a, step, T_out)
+    pred = pred[: test_u.shape[0]]
     fields = jnp.transpose(pred, (0, 1, 4, 2, 3))
     scores = jnp.abs(pre.residual(fields))
     qhat = calibrate(scores, pred.shape[0], alpha)

@@ -147,6 +147,50 @@ def test_eval_harness_smoke():
     assert banked[-1][1] == res["PRE"]
 
 
+def test_eval_harness_dp_mesh_parity():
+    """`mesh=` dp-shards every validation rollout; bootstrap batches that
+    do not divide the dp extent are zero-padded and cropped, and the
+    AER/PRE conformal quantile sees only real rows. Statistics must match
+    the unsharded run (samples are embarrassingly parallel; rollouts run
+    at HIGHEST precision, so shard layout cannot perturb them)."""
+    from cppre.parallel import make_mesh
+    from cppre.residuals.wave import PRE_Wave
+    from cppre.uq.eval import evaluate_uq_methods
+
+    base = FNO2d(**KW)
+    p = base.init(jax.random.PRNGKey(0), X)
+    pre_op = PRE_Wave(0.1, 0.1)
+
+    class _Wrap:
+        def residual(self, fields):
+            return pre_op(fields[:, 0])
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal((7, 1, 16, 16, 1)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((7, 1, 16, 16, 4)), jnp.float32)
+    kw = dict(methods=["Deterministic", "AER", "PRE"],
+              model_factory=lambda uq: (base, p), test_a=a, test_u=u,
+              step=1, T_out=4, runs=2, n_eval=5, samples=2, pre=_Wrap(),
+              verbose=False)
+    plain = evaluate_uq_methods(**kw)
+    mesh = make_mesh(8, dp=8, tp=1)
+    sharded = evaluate_uq_methods(**kw, mesh=mesh)
+    for m in plain:
+        # host-f64 vs device-f32 metric accumulation and the padded batch
+        # shape (7 -> 8) reordering CPU matmul accumulation: ~1e-6 absolute
+        np.testing.assert_allclose(sharded[m]["l2"], plain[m]["l2"],
+                                   rtol=2e-4, atol=5e-6, err_msg=m)
+        # a ~1e-6 rollout perturbation (batch 7 -> 8 accumulation order)
+        # can flip borderline cells against the CP bound — allow a few
+        # cell flips out of the ~5k counted, not a statistical change
+        np.testing.assert_allclose(sharded[m]["coverage"],
+                                   plain[m]["coverage"], atol=5e-3,
+                                   err_msg=m)
+
+    with pytest.raises(ValueError):
+        evaluate_uq_methods(**kw, mesh=mesh, batch_chunk=3)
+
+
 def test_eval_harness_traces_once_per_method():
     """Regression: the per-method validator must be jitted with the
     bootstrap arrays as ARGUMENTS, so resamples after the first reuse the
