@@ -20,7 +20,7 @@ from .interval_fft import (
     real_interval,
     propagate_through_deconvolution,
 )
-from .pre_set_prop import set_PRE
+from .pre_set_prop import set_PRE, set_pre_batched
 
 __all__ = [
     "Zonotope",
@@ -30,4 +30,5 @@ __all__ = [
     "real_interval",
     "propagate_through_deconvolution",
     "set_PRE",
+    "set_pre_batched",
 ]

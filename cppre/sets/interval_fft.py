@@ -90,21 +90,24 @@ def propagate_through_deconvolution(centers, radii, multipliers):
     """Vectorized interval FFT -> per-frequency complex multiply ->
     inverse interval FFT -> real-part intervals.
 
-    centers, radii: [N] real arrays (the input intervals c +- r).
+    centers, radii: [..., N] real arrays (the input intervals c +- r;
+    leading dims are an optional batch of independent interval vectors).
     multipliers: [N] complex per-frequency factors (e.g. 1/(K_hat + eps)).
-    Returns (out_centers [N], out_radii [N]) for the real part.
+    Returns (out_centers [..., N], out_radii [..., N]) for the real part.
 
     Equivalent to real_interval(inverse_interval_fft([complex_prod(z, C)
     for z, C in zip(interval_fft(...), multipliers)])) but as three dense
-    contractions (jit/vmap-able, runs on the MXU for large N).
+    contractions (jit/vmap-able, runs on the MXU for large N; the lag
+    kernel `w` is shared across the whole batch, so batched propagation is
+    one [.., N] x [N, N] matmul).
     """
     import jax.numpy as jnp
 
     c = jnp.asarray(centers, jnp.float32)
     r = jnp.asarray(radii, c.dtype)
     C = jnp.asarray(multipliers)
-    N = c.shape[0]
-    out_centers = jnp.real(jnp.fft.ifft(jnp.fft.fft(c) * C))
+    N = c.shape[-1]
+    out_centers = jnp.real(jnp.fft.ifft(jnp.fft.fft(c, axis=-1) * C, axis=-1))
 
     # rad_k = 1/N * sum_j r_j * w[(k - j) mod N] where
     # w[m] = sum_h |Re(C_h e^{2 pi i h m / N})| — the kernel depends only on
@@ -115,5 +118,5 @@ def propagate_through_deconvolution(centers, radii, multipliers):
     phase = jnp.exp(2j * jnp.pi * m[:, None] * h[None, :] / N)  # [m, h]
     w = jnp.sum(jnp.abs(jnp.real(C[None, :] * phase)), axis=1)  # [m]
     lag = (h[:, None] - h[None, :]) % N  # [k, j]
-    out_radii = (w[lag] @ r) / N
+    out_radii = r @ (w[lag].T) / N
     return out_centers, out_radii

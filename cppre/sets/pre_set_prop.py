@@ -17,7 +17,7 @@ import numpy as np
 
 from .interval_fft import propagate_through_deconvolution
 
-__all__ = ["set_PRE"]
+__all__ = ["set_PRE", "set_pre_batched"]
 
 
 def set_PRE(neural_sol, m: float = 1.0, k: float = 1.0, dt: float = 0.1010101,
@@ -56,3 +56,50 @@ def set_PRE(neural_sol, m: float = 1.0, k: float = 1.0, dt: float = 0.1010101,
     out_c, out_r = propagate_through_deconvolution(centers, radii, inverse_kernel)
     out_c, out_r = np.asarray(out_c), np.asarray(out_r)
     return list(zip(out_c - out_r, out_c + out_r))
+
+
+def set_pre_batched(neural_sols, m: float = 1.0, k: float = 1.0,
+                    dt: float = 0.1010101, eps: float = 1e-16):
+    """Batched TPU-native `set_PRE`: propagate residual bounds for a WHOLE
+    prediction set in one jittable graph.
+
+    The reference propagates one trajectory at a time on host
+    (`Inverse_residuals/Python/pre_set_prop.py:29-89` inside a Python
+    loop); here the interval construction, the interval FFT and the
+    deconvolution radius map are dense [B, N] x [N, N] contractions
+    shared across the batch, so bounding every CP prediction sample is a
+    single device call (f32 on TPU; the SHO kernel's FFT is bounded away
+    from 0, so `eps` regularisation behaves identically at f32).
+
+    neural_sols: [B, Nt] (or [Nt]) trajectories.
+    Returns (lower, upper), each [B, N] with N = Nt + 2 (the zero-padded
+    extent; same cells, in natural order, as `set_PRE`).
+    """
+    import jax.numpy as jnp
+
+    x = jnp.atleast_2d(jnp.asarray(neural_sols, jnp.float32))
+    B, nt = x.shape
+
+    D_tt = np.array([1.0, -2.0, 1.0])
+    D_id = np.array([0.0, 1.0, 0.0])
+    kernel = m * D_tt + dt**2 * k * D_id
+
+    signal = jnp.pad(x, ((0, 0), (1, 1)))  # [B, N], N = nt + 2
+    N = nt + 2
+    kernel_pad = np.concatenate((kernel, np.zeros(N - len(kernel))))
+    kernel_fft = np.fft.fft(kernel_pad)  # host constant
+
+    convolved = jnp.real(
+        jnp.fft.ifft(jnp.fft.fft(signal, axis=-1) * kernel_fft, axis=-1))
+    inverse_kernel = 1.0 / (kernel_fft + eps)
+
+    # same cell policy as set_PRE: wrap-around edge cells (first 4, last)
+    # exact, interior cells symmetric [-|res|, +|res|]
+    idx = jnp.arange(N)
+    edge = (idx <= 3) | (idx == N - 1)
+    centers = jnp.where(edge, convolved, 0.0)
+    radii = jnp.where(edge, 0.0, jnp.abs(convolved))
+
+    out_c, out_r = propagate_through_deconvolution(centers, radii,
+                                                   inverse_kernel)
+    return out_c - out_r, out_c + out_r

@@ -78,3 +78,31 @@ def test_set_pre_bounds_contain_solution():
     assert inside.all(), f"containment violated at {np.where(~inside)}"
     # bounds must be informative, not vacuous
     assert np.median(upper - lower) < 10 * np.abs(x).max()
+
+
+def test_set_pre_batched_matches_per_sample():
+    """The batched jittable set propagation must reproduce the per-sample
+    host `set_PRE` bounds (f32 device vs f64 host: ~1e-4 of the bound
+    scale) and keep containment for every batch row."""
+    import jax
+    import jax.numpy as jnp
+
+    from cppre.sets import set_pre_batched
+
+    t = np.arange(40) * 0.1010101
+    trajs = np.stack([np.cos(t), np.sin(t), np.cos(1.3 * t) * 0.7])
+    lower, upper = jax.jit(set_pre_batched)(jnp.asarray(trajs))
+    lower, upper = np.asarray(lower), np.asarray(upper)
+    assert lower.shape == (3, len(t) + 2)
+    for b in range(trajs.shape[0]):
+        ref = set_PRE(trajs[b])
+        ref_lo = np.array([r[0] for r in ref])
+        ref_up = np.array([r[1] for r in ref])
+        scale = max(np.abs(ref_up).max(), 1e-6)
+        np.testing.assert_allclose(lower[b], ref_lo, atol=2e-4 * scale,
+                                   rtol=1e-4)
+        np.testing.assert_allclose(upper[b], ref_up, atol=2e-4 * scale,
+                                   rtol=1e-4)
+        padded = np.concatenate(([0.0], trajs[b], [0.0]))
+        inside = (padded >= lower[b] - 1e-4) & (padded <= upper[b] + 1e-4)
+        assert inside.all(), f"batch row {b}: containment violated"
