@@ -74,8 +74,17 @@ def run(case: str = "Wave", config_path: str | None = None,
     cfg.update(overrides or {})
     seed = cfg.get("Seed", 0)
 
-    data, pre, sim_cfg = _CASES[case](cfg.get("Dist", "in"),
-                                      n=cfg.get("n_total", 60), seed=seed)
+    # The IN-distribution dataset always backs training, normalizer fit and
+    # the PRE's physics constants — the reference's `Dist` switch selects
+    # only the EVALUATION data (`Eval.py:62-84` loads pretrained in-dist
+    # models from the run registry and builds PRE with the assumed/default
+    # physics, e.g. PRE_NS hardcodes nu=1e-3 even on the 10x-viscosity OOD
+    # set; `data_loaders.py:15-92`). Loading in-dist with the same
+    # (n_total, seed) as the in-dist run makes the training block — and
+    # hence the train-cache fingerprint — identical across Dist settings.
+    dist = cfg.get("Dist", "in")
+    data, pre, sim_cfg = _CASES[case]("in", n=cfg.get("n_total", 60),
+                                      seed=seed)
     cfg = {**sim_cfg, **cfg}
     T_in, T_out, step = cfg["T_in"], cfg["T_out"], cfg["Step"]
     data = jnp.asarray(data)
@@ -84,7 +93,16 @@ def run(case: str = "Wave", config_path: str | None = None,
     a_all, u_all = norm_in.encode(a_all), norm_out.encode(u_all)
     n_train = cfg.get("n_train_eval", data.shape[0] // 2)
     tr_a, tr_u = a_all[:n_train], u_all[:n_train]
-    te_a, te_u = a_all[n_train:], u_all[n_train:]
+    if dist == "out":
+        # shifted-physics eval pool, encoded with the IN-dist normalizers
+        # (the reference pairs pretrained models with their saved norms)
+        n_pool = cfg.get("n_eval_pool", cfg.get("n_total", 60) - n_train)
+        data_out, _pre_out, _ = _CASES[case]("out", n=n_pool, seed=seed)
+        data_out = jnp.asarray(data_out)
+        te_a = norm_in.encode(data_out[..., :T_in])
+        te_u = norm_out.encode(data_out[..., T_in : T_in + T_out])
+    else:
+        te_a, te_u = a_all[n_train:], u_all[n_train:]
 
     kw = dict(T_in=T_in, step=step, modes1=cfg["Modes"], modes2=cfg["Modes"],
               num_vars=cfg["Variables"], width_time=cfg["Width_time"])
@@ -126,10 +144,14 @@ def run(case: str = "Wave", config_path: str | None = None,
         import json as _json
 
         _fp_src = {k: cfg.get(k) for k in (
-            "Case", "Dist", "Epochs", "Batch Size", "Learning Rate",
+            "Case", "Epochs", "Batch Size", "Learning Rate",
             "Scheduler Step", "Scheduler Gamma", "T_in", "T_out", "Step",
             "Modes", "Width_time", "Variables", "Seed", "n_total",
             "n_train_eval", "Train Precision", "n_ensemble")}
+        # training is ALWAYS in-distribution (the Dist switch shifts only
+        # the eval pool, see above) — pin the fingerprint's Dist field so
+        # an OOD run reuses the in-dist run's cached weights
+        _fp_src["Dist"] = "in"
         _fp = hashlib.sha1(_json.dumps(_fp_src, sort_keys=True, default=str)
                            .encode()).hexdigest()[:12]
 

@@ -345,6 +345,42 @@ def test_run_eval_train_cache_roundtrip(tmp_path):
     assert len(list(tmp_path.iterdir())) > n_before
 
 
+def test_run_eval_ood_trains_in_dist(tmp_path):
+    """Reference OOD semantics (`Eval.py:62-84` + `data_loaders.py:15-92`):
+    the Dist switch shifts only the EVALUATION data; models, normalizers
+    and the PRE's physics constants stay in-distribution. Pinned via the
+    train cache: an OOD run at the same training config must REUSE the
+    in-dist run's cached weights (no new checkpoint files), while its
+    eval statistics shift."""
+    from cppre.uq.run_eval import run
+
+    ov = {
+        "UQ": ["Deterministic", "PRE"],
+        "Epochs": 1,
+        "n_total": 6,
+        "n_train_eval": 3,
+        "runs": 1,
+        "n_eval": 2,
+        "samples": 1,
+        "Batch Size": 3,
+        "T_out": 4,
+        "Modes": 4,
+        "Width_time": 8,
+        "train_cache_dir": str(tmp_path),
+    }
+    res_in = run("Wave", overrides=dict(ov), verbose=False)
+    files = {p.name for p in tmp_path.iterdir()}
+    assert files  # the in-dist run trained and cached the base model
+    res_out = run("Wave", overrides=dict(ov, Dist="out", n_eval_pool=3),
+                  verbose=False)
+    assert {p.name for p in tmp_path.iterdir()} == files, (
+        "OOD run must reuse the in-dist cached weights, not retrain")
+    for r in res_out.values():
+        assert np.isfinite(r["l2"][0])
+    # the shifted eval pool is genuinely different data
+    assert res_out["Deterministic"]["l2"][0] != res_in["Deterministic"]["l2"][0]
+
+
 def test_run_eval_skip_and_bf16_precision():
     """`skip=` drops already-banked methods (the per-method resume path in
     scripts/uq_family_tpu.py) and `Train Precision: bf16` routes training
