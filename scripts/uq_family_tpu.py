@@ -21,9 +21,10 @@ sys.path.insert(0, "/root/repo")
 OVERRIDES = {
     # flap-tolerance: trained weights cache to disk keyed by a protocol
     # fingerprint, so a tunnel drop mid-protocol only loses eval work
-    # (cppre/uq/run_eval.py). /tmp is fine — the cache only needs to
-    # survive within one campaign.
-    "train_cache_dir": "/tmp/uq_train_cache",
+    # (cppre/uq/run_eval.py). Repo-local (gitignored) so it also survives
+    # machine restarts between campaign windows — /tmp does not, and a
+    # wiped cache forces a full retrain of every pending method.
+    "train_cache_dir": "/root/repo/.uq_train_cache",
     "Train Precision": "default",  # bf16 MXU training; eval stays HIGHEST
     "Epochs": 60,
     "n_total": 120,
