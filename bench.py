@@ -30,12 +30,14 @@ ALPHA = 0.1
 REPS = 5
 # Chained evaluations per dispatch: the tunnel costs a FIXED ~28 ms per
 # dispatch (launch + host-fetch sync; `scripts/probe_slope.py`), so the
-# per-call number is work + 28/INNER_ITERS ms. 100 iterations leave
-# ~0.3 ms of amortised overhead on a ~1.3 ms pipeline. The chaining guard
-# lives in `cppre.utils.tpu_bench.chain_calls` (one-element in-place
-# perturbation — the round-1 full-tensor guard added a ~1 ms copy pass per
-# iteration and inflated every published number).
-INNER_ITERS = 100
+# per-call number is work + 28/INNER_ITERS ms. 400 iterations leave
+# ~0.07 ms of amortised overhead on a ~1.3 ms pipeline (100 left ~0.3 ms —
+# an 18% haircut on the reported number purely from tunnel dispatch; the
+# chain is a fori_loop, so compile time does not scale with the count).
+# The chaining guard lives in `cppre.utils.tpu_bench.chain_calls`
+# (one-element in-place perturbation — the round-1 full-tensor guard added
+# a ~1 ms copy pass per iteration and inflated every published number).
+INNER_ITERS = 400
 
 
 def _synthetic_fields(seed: int = 0):
