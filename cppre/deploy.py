@@ -80,12 +80,17 @@ class CalibratedSurrogate:
         permute; 1-D callers pass their own).
     fused : route serving rollouts through the fused Pallas FNO blocks
         where supported (`models.fused.make_fused_apply`).
+    mesh : optional ``jax.sharding.Mesh`` with a 'dp' axis — serving
+        batches are zero-sample padded to the dp extent, placed with a
+        NamedSharding (jit partitions the whole program; with ``fused``
+        the Pallas forward runs per-shard inside shard_map), and cropped.
     """
 
     def __init__(self, model, params, residual_fn: Callable, *, step: int,
                  T_out: int, in_normalizer=None, out_normalizer=None,
                  mode: str = "joint", score: str = "pre",
-                 layout_fn: Callable = _to_convops, fused: bool = False):
+                 layout_fn: Callable = _to_convops, fused: bool = False,
+                 mesh=None):
         if mode not in ("joint", "marginal"):
             raise ValueError(f"unknown mode {mode!r}")
         if score not in ("pre", "aer+pre"):
@@ -101,10 +106,12 @@ class CalibratedSurrogate:
         self.mode, self.score = mode, score
         self.layout_fn = layout_fn
         self.fused = fused
+        self.mesh = mesh        # jax.sharding.Mesh: dp-shard serving batches
         # calibration state (set by calibrate()/load())
         self.alpha = None
         self.qhat = None        # scalar (joint) or field (marginal)
         self.modulation = None  # field (joint) or None (marginal)
+        self.scores = None      # calibration scores (recalibrate() source)
         self.threshold = 0.5    # marginal accept: fraction of cells in-bounds
         self._rollout_res = None  # jitted (params, a_raw) -> (pred, residual)
 
@@ -114,12 +121,23 @@ class CalibratedSurrogate:
         step, T_out = self.step, self.T_out
         in_norm, out_norm = self.in_norm, self.out_norm
         layout_fn, residual_fn = self.layout_fn, self.residual_fn
-        if self.fused:
+        if self.fused and self.mesh is not None:
+            # pallas_call does not partition under pjit: run the fused
+            # forward per-shard inside shard_map (parallel/sharding.py)
+            from .parallel import make_sharded_fused_apply
+
+            apply_fn = make_sharded_fused_apply(self.model, self.params,
+                                                self.mesh)
+
+            def fwd(params, x):  # params threaded for API symmetry
+                del params
+                return apply_fn(x)
+        elif self.fused:
             from .models.fused import make_fused_apply
 
             apply_fn = make_fused_apply(self.model, self.params)
 
-            def fwd(params, x):  # params threaded for API symmetry
+            def fwd(params, x):
                 del params
                 return apply_fn(x)
         else:
@@ -141,6 +159,22 @@ class CalibratedSurrogate:
     def _rollout(self, a_raw):
         if self._rollout_res is None:
             self._build()
+        if self.mesh is not None:
+            # dp-shard the serving batch: pad to a multiple of the dp
+            # extent (samples are independent, pad rows never touch real
+            # ones), place with a NamedSharding so jit partitions the
+            # whole program, crop after
+            from .parallel import shard_batch
+
+            a_raw = jnp.asarray(a_raw, jnp.float32)
+            b = a_raw.shape[0]
+            pad = (-b) % self.mesh.shape["dp"]
+            if pad:
+                widths = ((0, pad),) + ((0, 0),) * (a_raw.ndim - 1)
+                a_raw = jnp.pad(a_raw, widths)
+            a_raw = shard_batch(a_raw, self.mesh)
+            pred, res = self._rollout_res(self.params, a_raw)
+            return pred[:b], res[:b]
         return self._rollout_res(self.params, a_raw)
 
     # -- calibration -------------------------------------------------------
@@ -187,10 +221,23 @@ class CalibratedSurrogate:
             scores = (jnp.abs(res_out - res_pred) if self.score == "aer+pre"
                       else jnp.abs(res_pred))
             self.modulation = None
+        self.scores = scores
         self.qhat = cp_calibrate(scores, scores.shape[0], alpha)
         self.alpha = float(alpha)
         self.threshold = float(threshold)
         self.n_cal = int(scores.shape[0])
+        return self
+
+    def recalibrate(self, alpha: float):
+        """Move to a new alpha from the stored calibration scores — no
+        rollout, no residuals, just a fresh split-CP quantile. Available
+        on any calibrated (or loaded) bundle."""
+        if self.scores is None:
+            raise RuntimeError("no stored calibration scores; call "
+                               "calibrate() first (or load a bundle saved "
+                               "by this version)")
+        self.qhat = cp_calibrate(self.scores, self.scores.shape[0], alpha)
+        self.alpha = float(alpha)
         return self
 
     # -- serving -----------------------------------------------------------
@@ -248,6 +295,8 @@ class CalibratedSurrogate:
         cp_state = {"qhat": np.asarray(self.qhat)}
         if self.modulation is not None:
             cp_state["modulation"] = np.asarray(self.modulation)
+        if self.scores is not None:  # lets a loaded bundle recalibrate()
+            cp_state["scores"] = np.asarray(self.scores)
         np.savez(prefix + "_cp.npz", **cp_state)
         meta = {"alpha": self.alpha, "mode": self.mode, "score": self.score,
                 "step": self.step, "T_out": self.T_out,
@@ -260,7 +309,7 @@ class CalibratedSurrogate:
     @classmethod
     def load(cls, prefix: str, model, residual_fn: Callable, *,
              params_template=None, layout_fn: Callable = _to_convops,
-             fused: bool = False):
+             fused: bool = False, mesh=None):
         """Rebuild a serving object from :meth:`save`'s bundle. The flax
         msgpack format needs a `params_template` with the right structure;
         by default one is initialised from the model + bundle shapes."""
@@ -282,11 +331,14 @@ class CalibratedSurrogate:
         srv = cls(model, params, residual_fn, step=meta["step"],
                   T_out=meta["T_out"], in_normalizer=in_norm,
                   out_normalizer=out_norm, mode=meta["mode"],
-                  score=meta["score"], layout_fn=layout_fn, fused=fused)
+                  score=meta["score"], layout_fn=layout_fn, fused=fused,
+                  mesh=mesh)
         cp_z = np.load(prefix + "_cp.npz")
         srv.qhat = jnp.asarray(cp_z["qhat"])
         srv.modulation = (jnp.asarray(cp_z["modulation"])
                           if "modulation" in cp_z else None)
+        srv.scores = (jnp.asarray(cp_z["scores"])
+                      if "scores" in cp_z else None)
         srv.alpha = meta["alpha"]
         srv.threshold = meta.get("threshold", 0.5)
         srv.n_cal = meta.get("n_cal")

@@ -118,6 +118,54 @@ def test_save_load_roundtrip_bitexact(tmp_path):
                                   np.asarray(out2["accept"]))
 
 
+def test_recalibrate_matches_fresh_calibrate_and_survives_load(tmp_path):
+    model, params, residual_fn, data = _wave_like_setup(n=50)
+    t_in = 1
+    srv = CalibratedSurrogate(model, params, residual_fn, step=1, T_out=4,
+                              mode="joint", score="pre")
+    srv.calibrate(data[:40, ..., :t_in], alpha=0.1)
+    q_01 = np.asarray(srv.qhat)
+    srv.recalibrate(0.3)
+    fresh = CalibratedSurrogate(model, params, residual_fn, step=1, T_out=4,
+                                mode="joint", score="pre")
+    fresh.calibrate(data[:40, ..., :t_in], alpha=0.3)
+    np.testing.assert_array_equal(np.asarray(srv.qhat),
+                                  np.asarray(fresh.qhat))
+    # roundtrip: a loaded bundle can still move alpha
+    prefix = str(tmp_path / "b")
+    srv.save(prefix)
+    srv2 = CalibratedSurrogate.load(prefix, model, residual_fn)
+    srv2.recalibrate(0.1)
+    np.testing.assert_array_equal(np.asarray(srv2.qhat), q_01)
+
+
+def test_mesh_sharded_serving_parity():
+    """dp-sharded serving (uneven batch) must match single-device serving
+    exactly — the 8-virtual-device CPU mesh from conftest."""
+    from cppre.parallel import make_mesh
+
+    model, params, residual_fn, data = _wave_like_setup(n=40)
+    t_in = 1
+    mesh = make_mesh(8, dp=8, tp=1)
+    srv1 = CalibratedSurrogate(model, params, residual_fn, step=1, T_out=4)
+    srvm = CalibratedSurrogate(model, params, residual_fn, step=1, T_out=4,
+                               mesh=mesh)
+    srv1.calibrate(data[:30, ..., :t_in], alpha=0.1)   # n_cal=30: uneven
+    srvm.calibrate(data[:30, ..., :t_in], alpha=0.1)
+    # partitioned execution reorders reductions and the AR rollout + the
+    # sup-norm score amplify the ~1e-7 per-step float noise; the same
+    # band as tests/test_parallel.py's sharded-scores parity
+    np.testing.assert_allclose(np.asarray(srv1.qhat), np.asarray(srvm.qhat),
+                               rtol=5e-4)
+    o1 = srv1.predict(data[30:, ..., :t_in])           # batch 10: uneven
+    om = srvm.predict(data[30:, ..., :t_in])
+    np.testing.assert_allclose(np.asarray(o1["prediction"]),
+                               np.asarray(om["prediction"]),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(o1["accept"]),
+                                  np.asarray(om["accept"]))
+
+
 def test_fused_serving_parity():
     """fused=True routes the rollout through the Pallas blocks (interpret
     mode on CPU) and must agree with the XLA serving path."""
