@@ -79,7 +79,8 @@ def bench_jax(fields, pred):
 
 
 PALLAS_TIMEOUT_S = 360  # strictly below any caller's own timeout (tests: 420)
-PALLAS_TIMEOUT_TPU_S = 700  # remote compile alone can take ~100 s
+PALLAS_TIMEOUT_TPU_S = 1000  # remote compile ~100 s; 3 arms = 3 compiles
+# (a timeout mid-arm is recoverable: the child streams PALLAS_T lines)
 
 
 def _bench_pallas_subprocess(q_xla: float, timeout_s: int | None = None) -> float:
@@ -105,6 +106,17 @@ def _bench_pallas_subprocess(q_xla: float, timeout_s: int | None = None) -> floa
     env["CPPRE_BENCH_PLATFORM"] = jax.default_backend()
     if env["CPPRE_BENCH_PLATFORM"] == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
+    def _best_t(stdout: str | bytes | None) -> float:
+        # the child emits a PALLAS_T line after every arm (running best) so
+        # a timeout mid-optional-arm still yields the anchor timing
+        if not stdout:
+            return float("inf")
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        ts = [float(line.split("=", 1)[1]) for line in stdout.splitlines()
+              if line.startswith("PALLAS_T=")]
+        return min(ts) if ts else float("inf")
+
     attempts = 2 if on_tpu else 1
     for attempt in range(attempts):
         try:
@@ -113,16 +125,21 @@ def _bench_pallas_subprocess(q_xla: float, timeout_s: int | None = None) -> floa
                 [sys.executable, __file__, "--pallas-leg", repr(q_xla), dims],
                 capture_output=True, text=True, timeout=timeout_s, env=env,
             )
-            for line in out.stdout.splitlines():
-                if line.startswith("PALLAS_T="):
-                    return float(line.split("=", 1)[1])
+            t = _best_t(out.stdout)
+            if t < float("inf"):
+                return t
             # no timing line: distinguish a parity regression from a dead tunnel
             print(f"bench: pallas leg attempt {attempt + 1} produced no timing "
                   f"(exit {out.returncode}); stderr tail: {out.stderr[-400:]!r}",
                   file=sys.stderr)
             if "qhat mismatch" in out.stderr:
                 break  # parity regression — retrying cannot fix it
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            t = _best_t(e.stdout)
+            if t < float("inf"):
+                print("bench: pallas leg timed out in an optional arm; "
+                      "keeping the completed arms' timing", file=sys.stderr)
+                return t
             print(f"bench: pallas leg attempt {attempt + 1} timed out "
                   f"(degraded TPU tunnel?)", file=sys.stderr)
         except (ValueError, OSError) as e:
@@ -151,21 +168,57 @@ def _pallas_leg(q_xla: float):
 
     fields, pred = _synthetic_fields()
 
-    def once(truth, prediction):
-        # paired one-pass Pallas kernel (raised VMEM limit): truth and
-        # prediction read once, |diff| + cross-batch moments in one grid
-        # pass; slope-harness-measured 1.25 ms vs 1.51 ms for the composed
-        # per-tensor-kernel path at this shape (scripts/probe_slope.py,
-        # BASELINE.md roofline).
-        scores = ns_joint_cp_scores_fused(truth, prediction, DT, DX, DX, NU)
-        return calibrate(scores, N_CAL, ALPHA)
+    def make_once(diff_dtype):
+        def once(truth, prediction):
+            # paired one-pass Pallas kernel (raised VMEM limit): truth and
+            # prediction read once, |diff| + cross-batch moments in one grid
+            # pass; slope-harness-measured 1.25 ms vs 1.51 ms for the
+            # composed per-tensor-kernel path at this shape
+            # (scripts/probe_slope.py, BASELINE.md roofline).
+            scores = ns_joint_cp_scores_fused(truth, prediction, DT, DX, DX,
+                                              NU, diff_dtype=diff_dtype)
+            return calibrate(scores, N_CAL, ALPHA)
+        return once
 
     f, p = jnp.asarray(fields), jnp.asarray(pred)
-    t_mean, q = dispatch_time(once, INNER_ITERS, f, p, reps=REPS)
-    # one-pass variance (E[x^2] - E[x]^2) differs from two-pass at ~1e-4 rel
-    if abs(q - q_xla) > 1e-3 * max(abs(q_xla), 1e-6):
-        raise AssertionError(f"pallas/xla qhat mismatch: {q} vs {q_xla}")
-    print(f"PALLAS_T={t_mean}")
+
+    def timed_arm(diff_dtype, g):
+        def once(truth, prediction):
+            scores = ns_joint_cp_scores_fused(truth, prediction, DT, DX, DX,
+                                              NU, samples_per_block=g,
+                                              diff_dtype=diff_dtype)
+            return calibrate(scores, N_CAL, ALPHA)
+        t_mean, q = dispatch_time(once, INNER_ITERS, f, p, reps=REPS)
+        # one-pass variance (E[x^2]-E[x]^2) differs from two-pass at ~1e-4
+        # rel; the bf16 staged diff adds ~1.4e-4 rel — both inside the gate
+        if abs(q - q_xla) > 1e-3 * max(abs(q_xla), 1e-6):
+            raise AssertionError(f"pallas/xla qhat mismatch: {q} vs {q_xla}")
+        return t_mean
+
+    # Mandatory parity anchor: the f32 single-sample-block arm (the
+    # round-2/3 published configuration). A qhat mismatch here is a real
+    # regression and must kill the leg. Emit the running best after every
+    # arm: if a later arm's remote compile hangs into the subprocess
+    # timeout, the parent recovers the anchor from the partial stdout.
+    import sys
+    t_best = timed_arm(None, 1)
+    print(f"PALLAS_T={t_best}", flush=True)
+    # Opportunistic arms, best-effort: bf16 staged diff halves the staged
+    # tensor's write+re-read HBM traffic (on-chip A/B 1.08x, qhat rel delta
+    # 1.4e-4 — scripts/bench_diff_dtype.py); samples_per_block=2 amortises
+    # per-grid-step overhead (NS g-sweep: 1.05x — results_scaling.json).
+    # Each must pass the same parity gate to count; a failed optional arm
+    # (VMEM, lowering, parity) leaves the anchor number standing.
+    for diff_dtype, g in ((jnp.bfloat16, 2), (jnp.bfloat16, 1)):
+        try:
+            t_arm = timed_arm(diff_dtype, g)
+        except Exception as e:  # noqa: BLE001 — arm is optional by design
+            print(f"bench: optional pallas arm (bf16, g={g}) skipped: "
+                  f"{str(e).splitlines()[0][:200]}", file=sys.stderr)
+            continue
+        if t_arm < t_best:
+            t_best = t_arm
+            print(f"PALLAS_T={t_best}", flush=True)
 
 
 def bench_torch_cpu(fields, pred):
@@ -224,7 +277,9 @@ UNIT = "fields/s/chip"
 RETRY_BUDGET_S = 1500.0
 RETRY_DELAY_S = 60.0
 PROBE_TIMEOUT_S = 150.0  # jax import ~8 s + backend init + one tiny op
-JAX_LEG_TIMEOUT_S = 1200  # one full XLA+Pallas leg incl. remote compiles
+JAX_LEG_TIMEOUT_S = 1600  # one full XLA+Pallas leg incl. remote compiles
+# (the pallas subprocess alone may take PALLAS_TIMEOUT_TPU_S; retry-path
+# attempts are additionally capped by the remaining RETRY_BUDGET_S)
 
 
 def _platform_env():
