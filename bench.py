@@ -119,11 +119,16 @@ def _bench_pallas_subprocess(q_xla: float, timeout_s: int | None = None) -> floa
 
     attempts = 2 if on_tpu else 1
     for attempt in range(attempts):
+        # retry at a reduced budget: two full-budget TPU attempts (2000 s)
+        # would overrun both JAX_LEG_TIMEOUT_S (orphaning the in-flight
+        # grandchild) and the 2400 s driver watchdog's margins
+        attempt_timeout = timeout_s if attempt == 0 else min(timeout_s, 500)
         try:
             dims = f"{N_CAL},{NT},{NX},{NY},{REPS},{INNER_ITERS}"
             out = subprocess.run(
                 [sys.executable, __file__, "--pallas-leg", repr(q_xla), dims],
-                capture_output=True, text=True, timeout=timeout_s, env=env,
+                capture_output=True, text=True, timeout=attempt_timeout,
+                env=env,
             )
             t = _best_t(out.stdout)
             if t < float("inf"):
@@ -168,22 +173,15 @@ def _pallas_leg(q_xla: float):
 
     fields, pred = _synthetic_fields()
 
-    def make_once(diff_dtype):
+    f, p = jnp.asarray(fields), jnp.asarray(pred)
+
+    def timed_arm(diff_dtype, g):
         def once(truth, prediction):
             # paired one-pass Pallas kernel (raised VMEM limit): truth and
             # prediction read once, |diff| + cross-batch moments in one grid
             # pass; slope-harness-measured 1.25 ms vs 1.51 ms for the
             # composed per-tensor-kernel path at this shape
             # (scripts/probe_slope.py, BASELINE.md roofline).
-            scores = ns_joint_cp_scores_fused(truth, prediction, DT, DX, DX,
-                                              NU, diff_dtype=diff_dtype)
-            return calibrate(scores, N_CAL, ALPHA)
-        return once
-
-    f, p = jnp.asarray(fields), jnp.asarray(pred)
-
-    def timed_arm(diff_dtype, g):
-        def once(truth, prediction):
             scores = ns_joint_cp_scores_fused(truth, prediction, DT, DX, DX,
                                               NU, samples_per_block=g,
                                               diff_dtype=diff_dtype)
@@ -203,13 +201,18 @@ def _pallas_leg(q_xla: float):
     import sys
     t_best = timed_arm(None, 1)
     print(f"PALLAS_T={t_best}", flush=True)
-    # Opportunistic arms, best-effort: bf16 staged diff halves the staged
-    # tensor's write+re-read HBM traffic (on-chip A/B 1.08x, qhat rel delta
-    # 1.4e-4 — scripts/bench_diff_dtype.py); samples_per_block=2 amortises
-    # per-grid-step overhead (NS g-sweep: 1.05x — results_scaling.json).
-    # Each must pass the same parity gate to count; a failed optional arm
-    # (VMEM, lowering, parity) leaves the anchor number standing.
-    for diff_dtype, g in ((jnp.bfloat16, 2), (jnp.bfloat16, 1)):
+    # Opportunistic arm, best-effort: samples_per_block=2 amortises
+    # per-grid-step overhead at a BIT-IDENTICAL qhat (NS g-sweep: 1.05x —
+    # results_scaling.json; on-chip rel_delta exactly 0.0 at these fields,
+    # scripts/probe_bench_arms.py). The bf16 staged-diff arm is NOT tried:
+    # it wins 1.08x on standard-normal fields at 1.4e-4 qhat delta
+    # (scripts/bench_diff_dtype.py) but deterministically fails the 1e-3
+    # gate at THIS smoother field distribution (2.06e-3 on chip — the
+    # residual scale is smaller, so the relative bf16 rounding is larger),
+    # so trying it would only waste a remote compile per run.
+    # The arm must pass the same parity gate to count; a failed optional
+    # arm (VMEM, lowering, parity) leaves the anchor number standing.
+    for diff_dtype, g in ((None, 2),):
         try:
             t_arm = timed_arm(diff_dtype, g)
         except Exception as e:  # noqa: BLE001 — arm is optional by design

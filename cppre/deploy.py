@@ -263,20 +263,29 @@ class CalibratedSurrogate:
         Returns a dict: 'prediction' [B, Nvar, Nx, Ny, T_out] (decoded),
         'residual' (PRE of the prediction), 'sets' (lo, hi) in residual
         space at the calibrated alpha, and 'accept' [B] bool — True where
-        the prediction's own residual is consistent with the calibrated
-        bound (the reference's selection filter: joint =
-        `filter_sims_joint`, marginal = fraction-in-bounds >= threshold).
-        With the 1-alpha guarantee, exchangeable new samples are accepted
-        at rate >= 1-alpha; physics-violating predictions fail the test.
+        the prediction's own residual lies inside the ZERO-centered
+        calibrated band (the reference's selection filter tests the
+        residual against [-width, +width], never against a band centered
+        on itself: `Marginal/Advection_Residuals_CP.py:346-348`,
+        `Active_Learning/Advection_AL_Marginal.py:169-189`). This holds
+        for both scores — with 'aer+pre' the width is calibrated on
+        |res_out - res_pred| but the accept test remains |res_pred| vs
+        the band (testing res_pred against sets() centered at res_pred
+        would be vacuously true). joint = `filter_sims_joint`, marginal =
+        fraction-in-bounds >= threshold. With the 1-alpha guarantee,
+        exchangeable new samples are accepted at rate >= 1-alpha under
+        the 'pre' score; physics-violating predictions fail the test.
         """
         self._require_calibrated()
         pred, res = self._rollout(a)
         lo, hi = self.sets(res)
+        width = (self.qhat * self.modulation if self.mode == "joint"
+                 else self.qhat)
         if self.mode == "joint":
-            accept = filter_sims_joint((lo, hi), res)
+            accept = filter_sims_joint((-width, width), res)
         else:
-            accept = filter_sims_within_bounds(lo, hi, res, self.threshold,
-                                               within=True)
+            accept = filter_sims_within_bounds(-width, width, res,
+                                               self.threshold, within=True)
         return {"prediction": pred, "residual": res, "sets": (lo, hi),
                 "accept": accept}
 

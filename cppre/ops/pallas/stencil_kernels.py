@@ -684,6 +684,7 @@ def wave_joint_cp_scores_fused(truth, prediction, kernel, eps: float = 1e-6,
     diff, s, sq = _joint_cp_diff_stats(truth[:, None], prediction[:, None],
                                        math_fn, interpret, out_shape,
                                        chunked_fn=chunked,
+                                       samples_per_block=samples_per_block,
                                        diff_dtype=diff_dtype)
     return _scores_from_diff_stats(diff, s, sq, truth.shape[0], eps)
 

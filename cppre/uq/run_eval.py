@@ -159,6 +159,9 @@ def run(case: str = "Wave", config_path: str | None = None,
         return os.path.join(cache_dir, f"uq_{cfg['Case']}_{tag}_{_fp}")
 
     def _cache_load(tag, template):
+        """`template` may be the params pytree or a zero-arg thunk building
+        it — the thunk form avoids a wasted model.init (a traced+compiled
+        dispatch on the remote TPU) when the cache is disabled or misses."""
         if not cache_dir:
             return None
         path = _cache_path(tag)
@@ -166,7 +169,8 @@ def run(case: str = "Wave", config_path: str | None = None,
             return None
         if verbose:
             print(f"[train-cache] {tag} <- {path}.ckpt", flush=True)
-        return load_checkpoint(path, template)
+        return load_checkpoint(path, template() if callable(template)
+                               else template)
 
     def _cache_store(tag, params):
         if cache_dir:
@@ -220,7 +224,8 @@ def run(case: str = "Wave", config_path: str | None = None,
             model = FNO2dBayesian(**kw)
             rngs0 = {"params": jax.random.PRNGKey(seed),
                      "bayes": jax.random.PRNGKey(seed + 1)}
-            params = _cache_load("bayesian", model.init(rngs0, tr_a[:1]))
+            params = _cache_load("bayesian",
+                                 lambda: model.init(rngs0, tr_a[:1]))
             if params is None:
                 params = _fit_generic(model, tr_a, tr_u, cfg, make_bayesian_train_step,
                                       seed, rngs_per_step=True,
@@ -231,7 +236,7 @@ def run(case: str = "Wave", config_path: str | None = None,
             model = make_mle_fno(**kw)
             rngs0 = {"params": jax.random.PRNGKey(seed),
                      "bayes": jax.random.PRNGKey(seed + 1)}
-            params = _cache_load("mle", model.init(rngs0, tr_a[:1]))
+            params = _cache_load("mle", lambda: model.init(rngs0, tr_a[:1]))
             if params is None:
                 params = _fit_generic(model, tr_a, tr_u, cfg, make_mle_train_step, seed,
                                       apply_fn=_train_apply(model))

@@ -217,8 +217,22 @@ def run_gsweep():
                       f"{str(e).splitlines()[0][:80]}", flush=True)
 
 
-def main():
+def main(leg: str | None = None):
     print("backend:", jax.default_backend(), flush=True)
+    if leg == "gsweep":
+        # re-measure ONLY the g-sweep, keeping the banked rows: needed
+        # after the wave samples_per_block forwarding fix (the 2026-08-19
+        # wave g-sweep rows were three g=1 runs — the argument was
+        # silently dropped; see tests/test_pallas_kernels.py::
+        # test_wave_scores_forward_samples_per_block)
+        try:
+            with open("/root/repo/results_scaling.json") as f:
+                RESULTS.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+        RESULTS["gsweep"] = []
+        run_gsweep()
+        return
     for shape in SHAPES:
         run_shape(shape)
     run_mhd_large()
@@ -227,4 +241,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    main(_sys.argv[1] if len(_sys.argv) > 1 else None)

@@ -41,12 +41,18 @@ def _mark_wave_uq_for_rebench():
     wave = d.get("Wave", {})
     if "SWAG" not in wave and "Ensemble" not in wave:
         return  # already rebenched (or never run) — nothing to do
-    open(marker, "w").write("1")
     for m in ("SWAG", "Ensemble"):
         wave.pop(m, None)
     wave.setdefault("_protocol", {})["_partial"] = True
     d["Wave"] = wave
-    json.dump(d, open(path, "w"), indent=1)
+    # atomic replace, and set the marker only AFTER a successful write: a
+    # crash mid-dump must neither truncate hours of banked TPU results nor
+    # leave a marker that blocks the retry from redoing the strip
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(d, f, indent=1)
+    os.replace(tmp, path)
+    open(marker, "w").write("1")
     print("marked Wave SWAG/Ensemble for re-bench", flush=True)
 
 

@@ -30,6 +30,10 @@ STAGES = [
     ("verify_onchip", ["python", "scripts/verify_onchip.py"], 600),
     ("probe_bench_arms", ["python", "scripts/probe_bench_arms.py"], 900),
     ("bench_confirm", ["python", "bench.py"], 2400),
+    # re-measure ONLY the g-sweep: the banked wave rows were three g=1
+    # runs (samples_per_block was silently dropped before the forwarding
+    # fix in ops/pallas/stencil_kernels.py)
+    ("gsweep_rerun", ["python", "scripts/bench_scaling.py", "gsweep"], 1800),
     ("uq_mhd_ood", ["python", "scripts/uq_family_tpu.py", "MHD", "out"],
      14000),
 ]

@@ -95,6 +95,20 @@ def test_marginal_aer_needs_truth_and_filters():
     out = srv.predict(data[30:, ..., :t_in])
     assert out["accept"].shape == (10,)
     assert srv.qhat.shape == out["residual"].shape[1:]  # per-cell qhat
+    # the accept decision must be falsifiable (not res-vs-sets(res), which
+    # is vacuously true): a physics-violating input must be rejected while
+    # in-distribution inputs pass. Rejection here takes a LARGE violation:
+    # the aer+pre width is wide (~0.4 — the synthetic truth is not
+    # residual-free, so scores ~ |res_out|), the FNO's mode truncation
+    # attenuates white noise ~70x, and the untrained model's noise
+    # response leaves >50% of residual cells near zero (spatially
+    # heavy-tailed) until the residual dwarfs the band everywhere.
+    rng = np.random.default_rng(7)
+    garbage = jnp.asarray(
+        5e3 * rng.standard_normal(data[30:, ..., :t_in].shape), jnp.float32)
+    out_bad = srv.predict(garbage)
+    assert not bool(np.any(np.asarray(out_bad["accept"])))
+    assert bool(np.all(np.asarray(out["accept"])))
 
 
 def test_save_load_roundtrip_bitexact(tmp_path):

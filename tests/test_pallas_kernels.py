@@ -438,6 +438,28 @@ def test_samples_per_block_parity():
         np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-10)
 
 
+def test_wave_scores_forward_samples_per_block():
+    """wave_joint_cp_scores_fused must actually FORWARD samples_per_block
+    to the paired kernel (regression: it used to accept and silently drop
+    the argument, so wave g-sweeps measured g=1 three times) — scores
+    match g=1 within f32 accumulation-order noise."""
+    from cppre.ops import ConvOperator
+    from cppre.ops.pallas import wave_joint_cp_scores_fused
+
+    rng = np.random.default_rng(5)
+    t = jnp.asarray(rng.standard_normal((8, 9, 16, 16)), jnp.float32)
+    p = t + 0.01 * jnp.asarray(rng.standard_normal(t.shape), jnp.float32)
+    D_tt, D_xxyy, D = (ConvOperator("t", 2), ConvOperator(("x", "y"), 2),
+                       ConvOperator())
+    D.kernel = D_tt.kernel - 0.25 * D_xxyy.kernel
+    s1 = wave_joint_cp_scores_fused(t, p, D.kernel, interpret=True)
+    for g in (2, 4):
+        sg = wave_joint_cp_scores_fused(t, p, D.kernel, interpret=True,
+                                        samples_per_block=g)
+        np.testing.assert_allclose(np.asarray(sg), np.asarray(s1),
+                                   rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("num_vars,nx,modes,width",
                          [(1, 64, 16, 16), (2, 16, 4, 8)])
 def test_fused_fno_block_forward_parity(num_vars, nx, modes, width):
