@@ -78,11 +78,25 @@ def dispatch_time(fn, inner: int, *arrays, reps: int = 5):
 def slope_time(fn, *arrays, inners=(10, 40, 160), reps: int = 5):
     """Per-call work via the slope of dispatch time over iteration count —
     the fixed per-dispatch overhead cancels exactly. Returns
-    (work_seconds_per_call, fixed_overhead_seconds, result)."""
-    times, q0 = [], None
-    for inner in inners:
-        tt, q = dispatch_time(fn, inner, *arrays, reps=reps)
-        times.append(tt)
-        q0 = q if q0 is None else q0
-    work, fixed = np.polyfit(np.asarray(inners, float), np.asarray(times), 1)
+    (work_seconds_per_call, fixed_overhead_seconds, result).
+
+    Robustness (2026-08-20): tunnel timing noise is one-sided additive
+    (hiccups only ever ADD time), and a hiccup window that covers all reps
+    of ONE inner count tilts an LSQ fit by Δ/(n_j−n_i) — observed as two
+    physically-impossible g-sweep rows (implied HBM bandwidth >2 TB/s on an
+    819 GB/s part). Defense: (a) warm every pipeline first, (b) interleave
+    the timing passes round-robin across inner counts so a transient window
+    cannot map onto a single count, (c) take the per-count MIN over passes
+    (the standard robust estimator under one-sided noise) before the fit."""
+    pipes = [chain_calls(fn, inner) for inner in inners]
+    q0 = float(np.asarray(pipes[0](*arrays)).ravel()[0])  # compile+execute
+    for p in pipes[1:]:
+        float(np.asarray(p(*arrays)).ravel()[0])
+    best = [float("inf")] * len(inners)
+    for _ in range(reps):
+        for i, p in enumerate(pipes):
+            t0 = time.perf_counter()
+            float(np.asarray(p(*arrays)).ravel()[0])
+            best[i] = min(best[i], time.perf_counter() - t0)
+    work, fixed = np.polyfit(np.asarray(inners, float), np.asarray(best), 1)
     return float(work), float(fixed), q0

@@ -171,3 +171,49 @@ def test_tpu_bench_chain_x64_and_array_outputs():
 
     got_v = np.asarray(chain_calls(fn_vec, 3)(t32, p32))
     np.testing.assert_allclose(got_v, np.asarray(fn_vec(t32, p32)), rtol=1e-6)
+
+
+def test_slope_time_min_interleave_resists_hiccup_window(monkeypatch):
+    """A transient tunnel hiccup window must not corrupt the slope fit:
+    before 2026-08-20 all reps of one inner count ran back-to-back, so a
+    ~35 ms hiccup covering that window under-reported a 1.2 ms/call
+    pipeline ~7x (two banked g-sweep rows implied >2 TB/s HBM bandwidth on
+    an 819 GB/s part). The harness now warms all pipelines, interleaves
+    passes round-robin, and takes the per-count min, so a hiccup spanning
+    several consecutive dispatches is fully rejected."""
+    import numpy as np
+
+    from cppre.utils import tpu_bench
+
+    inners = (4, 12, 36)
+    work_true, fixed_true = 1.2e-3, 28e-3
+
+    class VClock:
+        # virtual time: each dispatch advances by its true duration, plus a
+        # hiccup on dispatches 3..6 (a contiguous window mid-run, the shape
+        # of a real tunnel stall)
+        t = 0.0
+        dispatches = 0
+
+        def perf_counter(self):
+            return self.t
+
+    clock = VClock()
+
+    def fake_chain(fn, inner):
+        def pipe(*arrays):
+            dur = fixed_true + work_true * inner
+            if 3 <= clock.dispatches < 7:
+                dur += 35e-3
+            clock.dispatches += 1
+            clock.t += dur
+            return np.asarray(1.0)
+
+        return pipe
+
+    monkeypatch.setattr(tpu_bench, "chain_calls", fake_chain)
+    monkeypatch.setattr(tpu_bench, "time", clock)
+    work, fixed, q = tpu_bench.slope_time(None, None, inners=inners, reps=4)
+    assert q == 1.0
+    assert abs(work - work_true) / work_true < 1e-9
+    assert abs(fixed - fixed_true) / fixed_true < 1e-9
