@@ -212,7 +212,10 @@ def _pallas_leg(q_xla: float):
     # so trying it would only waste a remote compile per run.
     # The arm must pass the same parity gate to count; a failed optional
     # arm (VMEM, lowering, parity) leaves the anchor number standing.
-    for diff_dtype, g in ((None, 2),):
+    # g=4 added after the robust-harness g-sweep re-measure: a modest but
+    # uniform win over g=2 (ns 152.3k vs 148.3k fields/s) at the same
+    # bit-identical qhat (results_scaling.json gsweep, 2026-08-20).
+    for diff_dtype, g in ((None, 2), (None, 4)):
         try:
             t_arm = timed_arm(diff_dtype, g)
         except Exception as e:  # noqa: BLE001 — arm is optional by design

@@ -103,6 +103,23 @@ def run(case: str = "Wave", config_path: str | None = None,
         te_u = norm_out.encode(data_out[..., T_in : T_in + T_out])
     else:
         te_a, te_u = a_all[n_train:], u_all[n_train:]
+        # `n_eval_extra`: widen the in-dist EVAL pool to reference scale
+        # (10 resamples x 300 test sims, `Other_UQ/Evaluation/Eval.py:
+        # 121-122`) without touching the training block. Extra sims are
+        # fresh iid draws from the same simulator at a disjoint seed,
+        # encoded with the in-dist normalizers like the rest of the pool.
+        # Not part of the train-cache fingerprint: training data, seeds
+        # and trajectory are bit-identical with or without it, so cached
+        # weights from the 10x150 protocol are exactly reused.
+        n_extra = int(cfg.get("n_eval_extra", 0) or 0)
+        if n_extra:
+            data_x, _pre_x, _ = _CASES[case]("in", n=n_extra,
+                                             seed=seed + 7919)
+            data_x = jnp.asarray(data_x)
+            te_a = jnp.concatenate(
+                [te_a, norm_in.encode(data_x[..., :T_in])])
+            te_u = jnp.concatenate(
+                [te_u, norm_out.encode(data_x[..., T_in : T_in + T_out])])
 
     kw = dict(T_in=T_in, step=step, modes1=cfg["Modes"], modes2=cfg["Modes"],
               num_vars=cfg["Variables"], width_time=cfg["Width_time"])

@@ -83,7 +83,7 @@ def _load_existing():
     return existing
 
 
-def main(case: str = "Navier-Stokes", dist: str = "in"):
+def main(case: str = "Navier-Stokes", dist: str = "in", scale: str = ""):
     from cppre.uq.run_eval import run
 
     if dist not in ("in", "out"):
@@ -91,6 +91,21 @@ def main(case: str = "Navier-Stokes", dist: str = "in"):
         # bank it under the "(OOD)" key — hours of chip time mislabeled
         raise SystemExit(f"dist must be 'in' or 'out', got {dist!r}")
     overrides = dict(OVERRIDES, **FAMILY_OVERRIDES.get(case, {}))
+    if scale == "full":
+        # reference-EXACT protocol: 10 bootstrap resamples x 300 eval sims
+        # (`Other_UQ/Evaluation/Eval.py:121-122`). The eval pool is widened
+        # to 300 with fresh disjoint-seed sims (`n_eval_extra`,
+        # cppre/uq/run_eval.py) — the training block and hence the
+        # weights-cache fingerprint are unchanged, so the 10x150 run's
+        # trained models are reused and this stage is eval-only.
+        if dist != "in":
+            raise SystemExit("scale=full is defined for the in-dist protocol")
+        pool = overrides["n_total"] - overrides.get("n_train_eval",
+                                                    overrides["n_total"] // 2)
+        overrides.update(runs=10, n_eval=300,
+                         n_eval_extra=max(0, 300 - pool))
+    elif scale:
+        raise SystemExit(f"unknown scale {scale!r} (only 'full')")
     if dist == "out":
         # OOD protocol (reference `Other_UQ/Evaluation/data_loaders.py`:
         # half wave speed / 10x viscosity / disjoint MHD design box).
@@ -101,6 +116,10 @@ def main(case: str = "Navier-Stokes", dist: str = "in"):
         # 5x50 — the point is the coverage signature under shift
         overrides.update(Dist="out", runs=5, n_eval=50, n_eval_pool=60)
     key = case if dist == "in" else f"{case} (OOD)"
+    if scale == "full":
+        # separate key: a mid-run kill must not degrade the completed
+        # 10x150 family entry — the full-scale table accretes beside it
+        key = f"{case} (full)"
     t0 = time.perf_counter()
 
     # Per-method resume: a prior run of the SAME protocol that was killed
@@ -159,4 +178,5 @@ def main(case: str = "Navier-Stokes", dist: str = "in"):
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "Navier-Stokes",
-         sys.argv[2] if len(sys.argv) > 2 else "in")
+         sys.argv[2] if len(sys.argv) > 2 else "in",
+         sys.argv[3] if len(sys.argv) > 3 else "")

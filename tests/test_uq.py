@@ -406,6 +406,45 @@ def test_run_eval_skip_and_bf16_precision():
         assert np.isfinite(r["l2"][0])
 
 
+def test_run_eval_n_eval_extra_widens_pool_without_retraining(tmp_path):
+    """`n_eval_extra` (the reference-exact 10x300 protocol's pool widener,
+    `Other_UQ/Evaluation/Eval.py:121-122`) appends fresh disjoint-seed
+    in-dist sims to the EVAL pool only: the train-cache fingerprint is
+    unchanged (no retraining — no new checkpoint files), the widened run
+    can draw n_eval larger than the base pool, and its statistics differ
+    from the base run's (the pool is genuinely bigger)."""
+    from cppre.uq.run_eval import run
+
+    ov = {
+        "UQ": ["Deterministic", "PRE"],
+        "Epochs": 1,
+        "n_total": 6,
+        "n_train_eval": 3,
+        "runs": 1,
+        "n_eval": 2,
+        "samples": 1,
+        "Batch Size": 3,
+        "T_out": 4,
+        "Modes": 4,
+        "Width_time": 8,
+        "train_cache_dir": str(tmp_path),
+    }
+    res_base = run("Wave", overrides=dict(ov), verbose=False)
+    files = {p.name for p in tmp_path.iterdir()}
+    assert files
+    # widened pool: base eval pool is 3; ask for 5 of a 3+4=7 pool —
+    # impossible without the extra sims unless bootstrap had been
+    # degenerate; must reuse cached weights bit-for-bit
+    res_wide = run("Wave", overrides=dict(ov, n_eval=5, n_eval_extra=4),
+                   verbose=False)
+    assert {p.name for p in tmp_path.iterdir()} == files, (
+        "n_eval_extra must not invalidate the train cache")
+    for r in res_wide.values():
+        assert np.isfinite(r["l2"][0])
+    assert (res_wide["Deterministic"]["l2"][0]
+            != res_base["Deterministic"]["l2"][0])
+
+
 def test_ood_data_loader_shifts_physics():
     """`Dist: out` (reference `Other_UQ/Evaluation/data_loaders.py:15-92`)
     must produce a DIFFERENT physical family: half wave speed for Wave, so
