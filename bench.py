@@ -60,7 +60,10 @@ def bench_jax(fields, pred):
 
     from cppre.cp.inductive import calibrate, modulation_func, ncf_metric_joint
     from cppre.residuals.ns import PRE_NS
+    from cppre.utils.jax_cache import enable_persistent_cache
     from cppre.utils.tpu_bench import dispatch_time
+
+    enable_persistent_cache()
 
     pre = PRE_NS(DT, DX, DX, nu=NU)
 
@@ -158,12 +161,19 @@ def _pallas_leg(q_xla: float):
 
     import jax
 
+    from cppre.utils.jax_cache import enable_persistent_cache
+
     # honour the platform the parent resolved (env vars are too late in this
     # environment: sitecustomize imports jax at startup pointed at the
     # remote TPU, so the override must go through jax.config post-import)
     platform = os.environ.get("CPPRE_BENCH_PLATFORM")
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache: the ~100 s remote Mosaic compile of the
+    # fused kernel becomes a ~0 s executable reload on every warmed run —
+    # and degraded tunnel windows that hang fresh Mosaic compiles
+    # (RESULTS.md) can still serve the Pallas leg from cache.
+    enable_persistent_cache()
 
     import jax.numpy as jnp
 
@@ -219,7 +229,8 @@ def _pallas_leg(q_xla: float):
         try:
             t_arm = timed_arm(diff_dtype, g)
         except Exception as e:  # noqa: BLE001 — arm is optional by design
-            print(f"bench: optional pallas arm (bf16, g={g}) skipped: "
+            dd = "f32" if diff_dtype is None else str(diff_dtype)
+            print(f"bench: optional pallas arm ({dd}, g={g}) skipped: "
                   f"{str(e).splitlines()[0][:200]}", file=sys.stderr)
             continue
         if t_arm < t_best:
@@ -280,7 +291,10 @@ UNIT = "fields/s/chip"
 # therefore goes through a short-timeout subprocess probe first. Keep total
 # retry time well inside the 2400 s watchdog so the error JSON line is
 # always emitted.
-RETRY_BUDGET_S = 1500.0
+RETRY_BUDGET_S = 2100.0  # raised from 1500 (round-4): the driver captured
+# an rc=0 error line at ~1500 s in r03, so it waits at least that long;
+# 2100 keeps a 300 s margin inside this file's own 2400 s watchdog so the
+# error JSON line is still emitted on total failure.
 RETRY_DELAY_S = 60.0
 PROBE_TIMEOUT_S = 150.0  # jax import ~8 s + backend init + one tiny op
 JAX_LEG_TIMEOUT_S = 1600  # one full XLA+Pallas leg incl. remote compiles
@@ -313,6 +327,8 @@ _CHILD_PLATFORM_PRELUDE = (
     "_p = os.environ.get('CPPRE_BENCH_PLATFORM')\n"
     "if _p:\n"
     "    jax.config.update('jax_platforms', _p)\n"
+    "from cppre.utils.jax_cache import enable_persistent_cache\n"
+    "enable_persistent_cache()\n"
 )
 
 
@@ -375,9 +391,12 @@ def _jax_leg_child(dims: str):
 
     import jax
 
+    from cppre.utils.jax_cache import enable_persistent_cache
+
     p = os.environ.get("CPPRE_BENCH_PLATFORM")
     if p:
         jax.config.update("jax_platforms", p)
+    enable_persistent_cache()
     global N_CAL, NT, NX, NY, REPS, INNER_ITERS
     N_CAL, NT, NX, NY, REPS, INNER_ITERS = (int(v) for v in dims.split(","))
     fields, pred = _synthetic_fields()
