@@ -21,13 +21,22 @@ __all__ = ["ODEFunc", "neural_odeint", "fit_node"]
 
 
 class ODEFunc(nn.Module):
-    """dy/dt = MLP(y) (the reference ignores t in forward, DHO_NODE.py:117)."""
+    """dy/dt = MLP(y) (the reference ignores t in forward, DHO_NODE.py:117).
+
+    With ``time_dependent=True`` the MLP input is ``[y, t]`` — the
+    non-autonomous form the reference's Bessel NODE uses (its net takes
+    ``[y, v, x]``, `Inverse_residuals/Bessel/Bessel_NODE.py:110-130`),
+    required whenever the RHS has explicit variable coefficients
+    (Bessel, Cauchy-Euler)."""
 
     hidden_dim: int = 50
     state_dim: int = 2
+    time_dependent: bool = False
 
     @nn.compact
     def __call__(self, t, y):
+        if self.time_dependent:
+            y = jnp.concatenate([y, jnp.reshape(t, (1,))])
         h = nn.Dense(self.hidden_dim)(y)
         h = nn.tanh(h)
         h = nn.Dense(self.hidden_dim)(h)

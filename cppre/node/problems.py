@@ -29,6 +29,8 @@ __all__ = [
     "dho_residual_kernel",
     "bessel_residual",
     "cauchy_euler_residual",
+    "bessel_state",
+    "cauchy_euler_state",
 ]
 
 
@@ -107,6 +109,28 @@ def bessel_residual(y, t, order: int = 0):
     res = (x**2 * D_tt(y) / dt**2 + x * D_t(y) / (2 * dt)
            + (x**2 - order**2) * y)
     return res[0]
+
+
+def bessel_state(t, amp: float = 1.0, order: int = 0):
+    """[Nt, 2] state family A*[J_n, J_n'] — the reference samples
+    amplitude*cos(phase) at x0, which (both channels scaling together)
+    keeps the trajectory on A*J_n (`Bessel_NODE.py:353-371`)."""
+    from scipy.special import jv, jvp
+
+    t = np.asarray(t, dtype=np.float64)
+    return np.stack([amp * jv(order, t), amp * jvp(order, t, 1)],
+                    axis=-1).astype(np.float32)
+
+
+def cauchy_euler_state(t, c1: float = 1.0, c2: float = 0.0,
+                       a: float = 1.0, b: float = 1.0):
+    """[Nt, 2] state [y, y'] for the Cauchy-Euler family; y' by finite
+    difference on the analytic y (matching how the experiment driver
+    builds velocity channels for all problems)."""
+    t = np.asarray(t, dtype=np.float64)
+    y = cauchy_euler_solution(t, a=a, b=b, c1=c1, c2=c2)
+    v = np.gradient(y, t)
+    return np.stack([y, v], axis=-1).astype(np.float32)
 
 
 def cauchy_euler_residual(y, t, a: float = 1.0, b: float = 1.0):

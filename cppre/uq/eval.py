@@ -51,10 +51,11 @@ def evaluate_uq_methods(
     (Deterministic/Dropout/Bayesian/MLE/AER/PRE), a list of params
     (Ensemble), or a SWAG instance (SWAG).
 
-    `batch_chunk` (optional) evaluates the per-element methods in batch
-    pieces of that size, concatenating (mean, std) on host — identical
-    statistics, bounded device memory. AER/PRE are exempt (their conformal
-    quantile couples the whole eval batch).
+    `batch_chunk` (optional) evaluates methods in batch pieces of that
+    size, concatenating on host — identical statistics, bounded device
+    memory. For AER/PRE the pieces carry per-sim scores and the conformal
+    quantile is taken once over the concatenated scores (the batch couples
+    only at that final quantile, so chunking is exact there too).
 
     `on_method_done(uq, result)` fires after each method's resample loop
     completes, so long protocols (hours of per-method training on the
@@ -138,6 +139,12 @@ def evaluate_uq_methods(
             _extra = (alpha,) if uq == "AER" else (alpha, pre)
             _validate_cp = jax.jit(
                 lambda a_p, u_p: _v(model, aux, a_p, u_p, step, T_out, *_extra))
+            _vs = (V.validation_aer_scores if uq == "AER"
+                   else V.validation_pre_scores)
+            _extra_s = () if uq == "AER" else (pre,)
+            _validate_cp_scores = jax.jit(
+                lambda a_p, u_p: _vs(model, aux, a_p, u_p, step, T_out,
+                                     *_extra_s))
 
         l2s, covs, jcovs, times = [], [], [], []
         for ii in range(runs):
@@ -147,8 +154,33 @@ def evaluate_uq_methods(
             t1 = time.perf_counter()
             qhat = None
 
-            if uq in ("AER", "PRE"):
-                # never chunked: the conformal quantile couples the batch.
+            if uq in ("AER", "PRE") and mesh is None and batch_chunk \
+                    and a.shape[0] > batch_chunk:
+                # Chunked CP: rollout + per-sim scores in bounded-memory
+                # pieces, then ONE conformal quantile over the concatenated
+                # scores — identical statistics (the batch couples only at
+                # the final per-cell quantile). Unlocks the MHD full
+                # protocol: 300 six-variable sims unchunked ResourceExhaust
+                # the 16 GB v5e (the [B, V, X, Y, 256] rollout
+                # intermediate), ADVICE r03.
+                ms, scs, w_mse, w_mae, n_tot = [], [], 0.0, 0.0, 0
+                for lo in range(0, a.shape[0], batch_chunk):
+                    sl = slice(lo, lo + batch_chunk)
+                    m_p, s_p, mse_p, mae_p = _validate_cp_scores(a[sl], u[sl])
+                    n_p = int(a[sl].shape[0])
+                    ms.append(np.asarray(m_p))
+                    scs.append(np.asarray(s_p))
+                    w_mse += float(mse_p) * n_p
+                    w_mae += float(mae_p) * n_p
+                    n_tot += n_p
+                mean = np.concatenate(ms)
+                from ..cp.inductive import calibrate as _calibrate
+
+                qhat = _calibrate(jnp.asarray(np.concatenate(scs)),
+                                  n_tot, alpha)
+                mse, mae = w_mse / n_tot, w_mae / n_tot
+            elif uq in ("AER", "PRE"):
+                # unchunked: the conformal quantile couples the batch.
                 # Under a mesh only the rollout input is padded+sharded;
                 # the validator crops the rollout to u's batch before
                 # scoring, so pad rows never enter the quantile.

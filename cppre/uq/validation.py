@@ -26,6 +26,8 @@ __all__ = [
     "validation_mle",
     "validation_aer",
     "validation_pre",
+    "validation_aer_scores",
+    "validation_pre_scores",
 ]
 
 
@@ -175,3 +177,26 @@ def validation_pre(model, params, test_a, test_u, step, T_out, alpha, pre):
     scores = jnp.abs(pre.residual(fields))
     qhat = calibrate(scores, pred.shape[0], alpha)
     return (pred, qhat) + _metrics(pred, test_u)
+
+
+def validation_aer_scores(model, params, test_a, test_u, step, T_out):
+    """Chunkable AER leg: per-sim scores WITHOUT the quantile, so large
+    eval batches can roll out in bounded-memory pieces and the conformal
+    quantile is taken over the concatenated scores afterwards — identical
+    statistics to `validation_aer` (the batch only couples at the final
+    per-cell quantile)."""
+    pred = autoregressive_rollout(lambda x: model.apply(params, x), test_a,
+                                  step, T_out)
+    pred = pred[: test_u.shape[0]]
+    scores = jnp.abs(pred - test_u)
+    return (pred, scores) + _metrics(pred, test_u)
+
+
+def validation_pre_scores(model, params, test_a, test_u, step, T_out, pre):
+    """Chunkable PRE leg (see `validation_aer_scores`)."""
+    pred = autoregressive_rollout(lambda x: model.apply(params, x), test_a,
+                                  step, T_out)
+    pred = pred[: test_u.shape[0]]
+    fields = jnp.transpose(pred, (0, 1, 4, 2, 3))
+    scores = jnp.abs(pre.residual(fields))
+    return (pred, scores) + _metrics(pred, test_u)

@@ -92,18 +92,23 @@ def main(case: str = "Navier-Stokes", dist: str = "in", scale: str = ""):
         raise SystemExit(f"dist must be 'in' or 'out', got {dist!r}")
     overrides = dict(OVERRIDES, **FAMILY_OVERRIDES.get(case, {}))
     if scale == "full":
-        # reference-EXACT protocol: 10 bootstrap resamples x 300 eval sims
-        # (`Other_UQ/Evaluation/Eval.py:121-122`). The eval pool is widened
-        # to 300 with fresh disjoint-seed sims (`n_eval_extra`,
-        # cppre/uq/run_eval.py) — the training block and hence the
-        # weights-cache fingerprint are unchanged, so the 10x150 run's
-        # trained models are reused and this stage is eval-only.
+        # reference-scale protocol: 10 bootstrap resamples x 300 eval sims
+        # drawn WITHOUT replacement from a strictly larger pool, as the
+        # reference does (`Other_UQ/Evaluation/Eval.py:121-122` draws 300
+        # from the full post-ntrain dataset). Pool = 450 (ratio 1.5): a
+        # pool equal to n_eval would make every "resample" the identical
+        # set permuted, collapsing the reported +-std to float-reduction
+        # noise for the permutation-invariant methods (ADVICE r03, fixed
+        # round 4). Extra sims come from fresh disjoint seeds
+        # (`n_eval_extra`, cppre/uq/run_eval.py) — the training block and
+        # hence the weights-cache fingerprint are unchanged, so the 10x150
+        # run's trained models are reused and this stage is eval-only.
         if dist != "in":
             raise SystemExit("scale=full is defined for the in-dist protocol")
         pool = overrides["n_total"] - overrides.get("n_train_eval",
                                                     overrides["n_total"] // 2)
         overrides.update(runs=10, n_eval=300,
-                         n_eval_extra=max(0, 300 - pool))
+                         n_eval_extra=max(0, 450 - pool))
     elif scale:
         raise SystemExit(f"unknown scale {scale!r} (only 'full')")
     if dist == "out":

@@ -276,6 +276,34 @@ def test_eval_harness_batch_chunk_parity():
     res_d = evaluate_uq_methods(**kw_d, batch_chunk=3)
     assert np.isfinite(res_d["Dropout"]["l2"][0])
 
+    # AER/PRE (round-4): the conformal quantile is taken over the
+    # CONCATENATED per-chunk scores, so chunking must be exact here too —
+    # this unlocks the MHD 10x300 full protocol on a 16 GB chip.
+    from cppre.residuals.wave import PRE_Wave
+
+    pre_op = PRE_Wave(0.1, 0.1)
+
+    class _Wrap:
+        def residual(self, fields):
+            return pre_op(fields[:, 0])
+
+    kw_cp = dict(kw, methods=["AER", "PRE"], pre=_Wrap())
+    full_cp = evaluate_uq_methods(**kw_cp)
+    chunked_cp = evaluate_uq_methods(**kw_cp, batch_chunk=3)
+    for m in ("AER", "PRE"):
+        np.testing.assert_allclose(
+            chunked_cp[m]["l2"], full_cp[m]["l2"], rtol=1e-5, atol=1e-6,
+            err_msg=f"{m}.l2")
+        # coverage runs through an ORDER STATISTIC (qhat) and a hard
+        # threshold: XLA tiles batch-3 and batch-7 forwards differently, so
+        # f32 reduction order perturbs scores at ~1e-7, and a score sitting
+        # exactly at the quantile can flip a cell. Bound the flip mass
+        # (~1/n_cells), not bit equality.
+        for stat in ("coverage", "joint_coverage"):
+            np.testing.assert_allclose(
+                chunked_cp[m][stat], full_cp[m][stat], atol=2e-3,
+                err_msg=f"{m}.{stat}")
+
 
 def test_run_eval_end_to_end_with_train_precision():
     """`run_eval.run` trains + evaluates with the `Train Precision` knob:
