@@ -65,6 +65,17 @@ def run_all(verbose: bool = False):
          config={"Epochs": 3, "Nx": 64, "Nt": 40, "T_out": 10, "n_train": 10,
                  "n_test": 8, "n_cal": 10, "n_pred": 10, "n_iterations": 1},
          verbose=verbose)
+    from .al_more import run as al_more
+
+    _run("al/burgers", al_more, "burgers", "PRE",
+         config={"Epochs": 3, "Nx": 64, "Nt": 21, "T_out": 10, "n_train": 8,
+                 "n_test": 6, "n_cal": 8, "n_pred": 6, "n_iterations": 1,
+                 "Modes": 8, "Width": 8}, verbose=verbose)
+    _run("al/wave", al_more, "wave", "PRE",
+         config={"Epochs": 3, "Nx": 32, "T_out": 10, "n_train": 6,
+                 "n_test": 5, "n_cal": 6, "n_pred": 5, "n_iterations": 1,
+                 "Modes": 8, "Width_time": 8, **{"Batch Size": 6}},
+         verbose=verbose)
     _run("pi/advection", pi_adv, "finetune",
          config={"Epochs": 3, "PI_Epochs": 3, "Nx": 64, "Nt": 40, "T_out": 10,
                  "n_train": 10, "n_test": 8}, verbose=verbose)

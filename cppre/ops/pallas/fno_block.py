@@ -1,4 +1,6 @@
-"""Fused FNO2d Fourier block — forward-only Pallas kernel (TurboFNO-style).
+"""Fused FNO2d Fourier block — Pallas kernels (TurboFNO-style), forward
+(`fno_block2d_fused`) and fused backward (`fno_block2d_bwd_fused`, wired
+into training via the `custom_vjp` in `models/fused.py`).
 
 One FNO block (`Base_FNO.py:84-107`, rebuilt in `models/fno.py::_FNOBlock2d`)
 is gelu(mlp(spectral(x)) + w(x) + b(grid)). Lowered through XLA this is

@@ -4,8 +4,9 @@ Stages (poll-and-drive, same pattern as round3c_campaign.py):
 
 1. bench_confirm — end-to-end bench.py with the g=4 optional arm added
                    after the robust-harness g-sweep re-measure (skipped
-                   automatically if a bench run from this session already
-                   banked; the stage exists for resume-after-flap)
+                   only when a prior run of THIS campaign recorded the
+                   stage in /tmp/round3d_done; the stage exists for
+                   resume-after-flap)
 2. uq_wave_full  — Wave UQ comparison at the reference-EXACT protocol:
                    10 bootstrap resamples x 300 eval sims
                    (`Other_UQ/Evaluation/Eval.py:121-122`). Eval-only on
