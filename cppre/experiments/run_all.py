@@ -79,6 +79,12 @@ def run_all(verbose: bool = False):
     _run("pi/advection", pi_adv, "finetune",
          config={"Epochs": 3, "PI_Epochs": 3, "Nx": 64, "Nt": 40, "T_out": 10,
                  "n_train": 10, "n_test": 8}, verbose=verbose)
+    from ..node.experiments import run as node_run
+
+    _run("node/sho", node_run, "sho", n_train=1, n_cal=16, n_pred=8, Nt=50,
+         epochs=40, verbose=verbose)
+    _run("node/bessel", node_run, "bessel", n_train=1, n_cal=16, n_pred=8,
+         Nt=50, epochs=40, verbose=verbose)
 
     failed = [k for k, v in results.items() if not v["ok"]]
     print(f"\n{len(results) - len(failed)}/{len(results)} pipelines ok"

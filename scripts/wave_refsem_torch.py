@@ -89,8 +89,16 @@ def torch_leg(params, cfg):
     import torch
 
     sys.path.insert(0, "/root/reference")
+    sys.path.insert(0, "/root/reference/Utils")  # vendored fft_conv_pytorch
     sys.path.insert(0, "/root/reference/Other_UQ/Bayesian_Models")
     sys.path.insert(0, "/root/reference/Other_UQ/Utils")
+    # training_utils.py:443 star-imports the (unvendored, absent)
+    # Neural_PDE submodule at module level — stub it so the file imports;
+    # only `validation` (defined above that line) is used here.
+    import types
+
+    for name in ("Neural_PDE", "Neural_PDE.UQ", "Neural_PDE.UQ.inductive_cp"):
+        sys.modules.setdefault(name, types.ModuleType(name))
     from Base_FNO import FNO_multi2d
     from training_utils import validation
     from Utils.ConvOps_2d import ConvOperator
