@@ -518,3 +518,34 @@ def test_ood_mhd_loader_samples_disjoint_design_box():
     assert d_in.shape == d_out.shape
     assert float(np.max(np.abs(np.asarray(d_in) - np.asarray(d_out)))) > 1e-3
     assert np.all(np.isfinite(np.asarray(d_out)))  # CFL-safe at the fixed dt
+
+
+def test_full_protocol_pool_strictly_exceeds_n_eval():
+    """ADVICE r03 (high): a pool exactly equal to n_eval makes every
+    without-replacement "bootstrap resample" the identical set permuted, so
+    the reported +-std collapses to float-reduction noise for
+    permutation-invariant methods. The full-scale override in
+    scripts/uq_family_tpu.py must keep pool > n_eval (the reference draws
+    300 from the strictly larger post-ntrain dataset,
+    `Other_UQ/Evaluation/Eval.py:121-122`), and resamples must genuinely
+    differ."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "uq_family_tpu", "/root/repo/scripts/uq_family_tpu.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for fam in ("Wave", "Navier-Stokes", "MHD"):
+        ov = dict(mod.OVERRIDES, **mod.FAMILY_OVERRIDES.get(fam, {}))
+        pool = ov["n_total"] - ov.get("n_train_eval", ov["n_total"] // 2)
+        # replicate the scale=full update from main()
+        extra = max(0, 450 - pool)
+        assert pool + extra > 300, (fam, pool, extra)
+
+    # and the resampler actually produces different index sets there
+    from cppre.uq.eval import _bootstrap_idx
+
+    rng = np.random.default_rng(0)
+    draws = [frozenset(_bootstrap_idx(rng, 450, 300).tolist())
+             for _ in range(4)]
+    assert len(set(draws)) > 1
