@@ -111,15 +111,24 @@ def run(case: str = "Wave", config_path: str | None = None,
         # Not part of the train-cache fingerprint: training data, seeds
         # and trajectory are bit-identical with or without it, so cached
         # weights from the 10x150 protocol are exactly reused.
+        # Generated in host-bounded chunks: one batched solve of 300 MHD
+        # sims ResourceExhausted'd the 16 GB v5e (round-4; the solver state
+        # is batch x 6 fields x N^2 x stored steps). Each chunk is pulled
+        # to host before the next dispatches; chunks use disjoint seeds, so
+        # the pool is the same kind of fresh-iid draw either way.
         n_extra = int(cfg.get("n_eval_extra", 0) or 0)
-        if n_extra:
-            data_x, _pre_x, _ = _CASES[case]("in", n=n_extra,
-                                             seed=seed + 7919)
+        chunk = int(cfg.get("n_eval_extra_chunk", 100) or n_extra or 1)
+        off = 0
+        while off < n_extra:
+            m = min(chunk, n_extra - off)
+            data_x, _pre_x, _ = _CASES[case]("in", n=m,
+                                             seed=seed + 7919 + off)
             data_x = jnp.asarray(data_x)
             te_a = jnp.concatenate(
                 [te_a, norm_in.encode(data_x[..., :T_in])])
             te_u = jnp.concatenate(
                 [te_u, norm_out.encode(data_x[..., T_in : T_in + T_out])])
+            off += m
 
     kw = dict(T_in=T_in, step=step, modes1=cfg["Modes"], modes2=cfg["Modes"],
               num_vars=cfg["Variables"], width_time=cfg["Width_time"])
