@@ -109,6 +109,13 @@ def main(case: str = "Navier-Stokes", dist: str = "in", scale: str = ""):
                                                     overrides["n_total"] // 2)
         overrides.update(runs=10, n_eval=300,
                          n_eval_extra=max(0, 450 - pool))
+        # CP-first method order: methods are statistically independent
+        # (same fixed split, per-method training), so order only decides
+        # what a budget-killed run has banked — put the paper's headline
+        # methods (AER/PRE) and the cheap evals before the expensive
+        # MC-sampling baselines.
+        overrides["UQ"] = ["Deterministic", "AER", "PRE", "MLE", "Dropout",
+                           "Ensemble", "SWAG", "Bayesian"]
     elif scale:
         raise SystemExit(f"unknown scale {scale!r} (only 'full')")
     if dist == "out":
@@ -139,7 +146,9 @@ def main(case: str = "Navier-Stokes", dist: str = "in", scale: str = ""):
     # protocol changes (identical statistics, see cppre.uq.eval /
     # run_eval) — ignore them when deciding resumability so adding either
     # doesn't throw away hours of banked per-method results.
-    _NONPROTO = ("batch_chunk", "train_cache_dir")
+    # "UQ" (method set/order) is also non-protocol: methods are independent
+    # — order only affects banking priority under a kill, never statistics.
+    _NONPROTO = ("batch_chunk", "train_cache_dir", "UQ")
     _cmp_prev = {k: v for k, v in prev_proto.items() if k not in _NONPROTO}
     _cmp_now = {k: v for k, v in overrides.items() if k not in _NONPROTO}
     if _cmp_prev.pop("_partial", False) and _cmp_prev == _cmp_now:
