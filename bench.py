@@ -82,8 +82,11 @@ def bench_jax(fields, pred):
 
 
 PALLAS_TIMEOUT_S = 360  # strictly below any caller's own timeout (tests: 420)
-PALLAS_TIMEOUT_TPU_S = 1000  # remote compile ~100 s; 3 arms = 3 compiles
-# (a timeout mid-arm is recoverable: the child streams PALLAS_T lines)
+PALLAS_TIMEOUT_TPU_S = 600  # remote compile ~100 s; 3 arms = 3 compiles
+# (a timeout mid-arm is recoverable: the child streams PALLAS_T lines).
+# 600 + the 300 s retry fits the healthy path inside RETRY_BUDGET_S with
+# probe + XLA-leg + cached-torch margins (~1330 s worst case); the old
+# 1000 + 500 could push a half-degraded run past the driver kill window.
 
 
 def _bench_pallas_subprocess(q_xla: float, timeout_s: int | None = None) -> float:
@@ -122,10 +125,10 @@ def _bench_pallas_subprocess(q_xla: float, timeout_s: int | None = None) -> floa
 
     attempts = 2 if on_tpu else 1
     for attempt in range(attempts):
-        # retry at a reduced budget: two full-budget TPU attempts (2000 s)
-        # would overrun both JAX_LEG_TIMEOUT_S (orphaning the in-flight
-        # grandchild) and the 2400 s driver watchdog's margins
-        attempt_timeout = timeout_s if attempt == 0 else min(timeout_s, 500)
+        # retry at a reduced budget: two full-budget TPU attempts would
+        # overrun both JAX_LEG_TIMEOUT_S (orphaning the in-flight
+        # grandchild) and the driver's own kill window (see RETRY_BUDGET_S)
+        attempt_timeout = timeout_s if attempt == 0 else min(timeout_s, 300)
         try:
             dims = f"{N_CAL},{NT},{NX},{NY},{REPS},{INNER_ITERS}"
             out = subprocess.run(
@@ -283,21 +286,58 @@ def bench_torch_cpu(fields, pred):
     return float(np.mean(times))
 
 
+TORCH_BASELINE_CACHE = "bench_torch_baseline.json"  # repo-relative, committed
+
+
+def bench_torch_cpu_cached(fields, pred):
+    """Disk-cached torch-CPU baseline. The baseline is machine-local and
+    stable (~31 s/call, 0.3 % spread across rounds), so re-measuring it
+    inside the capture-critical window after a late tunnel recovery only
+    burns driver margin (VERDICT r04 weak #5): ~2.5 min of `F.conv3d` after
+    the JAX leg already succeeded. Cache keyed by the benchmark dims; a
+    fresh measurement writes through so the committed file tracks shape
+    changes."""
+    import os
+
+    key = f"{N_CAL}x{NVAR}x{NT}x{NX}x{NY}_reps{REPS}"
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        TORCH_BASELINE_CACHE)
+    try:
+        cache = json.load(open(path))
+        if key in cache:
+            return float(cache[key]["t_mean_s"])
+    except (OSError, ValueError):
+        cache = {}
+    t = bench_torch_cpu(fields, pred)
+    cache[key] = {"t_mean_s": t, "note": "seconds per pipeline call, "
+                  "torch F.conv3d + NumPy CP on this machine's CPU"}
+    try:
+        json.dump(cache, open(path, "w"), indent=1)
+    except OSError:
+        pass  # read-only checkout: fall through with the fresh measurement
+    return t
+
+
 METRIC = "ns_pre_joint_cp_fields_per_sec"
 UNIT = "fields/s/chip"
 # Outage retry budget: the axon tunnel flaps — round 2 lost its number to a
 # backend-init RuntimeError, and during long outages even backend discovery
 # HANGS (the axon hook blocks inside xla_bridge.backends()). Every attempt
-# therefore goes through a short-timeout subprocess probe first. Keep total
-# retry time well inside the 2400 s watchdog so the error JSON line is
-# always emitted.
-RETRY_BUDGET_S = 2100.0  # raised from 1500 (round-4): the driver captured
-# an rc=0 error line at ~1500 s in r03, so it waits at least that long;
-# 2100 keeps a 300 s margin inside this file's own 2400 s watchdog so the
-# error JSON line is still emitted on total failure.
+# therefore goes through a short-timeout subprocess probe first.
+#
+# The driver's own kill window is bracketed empirically: round 3 (budget
+# 1500 s) exited rc=0 with its JSON line captured; round 4 (budget 2100 s)
+# was killed rc=124 with NOTHING captured. So the driver waits somewhere in
+# (~1500 s, ~2100 s] — stay strictly below the proven-safe point and never
+# gamble above it again (VERDICT r04 #1). The error JSON line is ALSO
+# emitted immediately when the first probe fails (see main), so even a
+# kill mid-retry leaves a parseable tail.
+RETRY_BUDGET_S = 1380.0
+WATCHDOG_S = 1440  # in-process alarm: fires before the driver's earliest
+# proven kill (~1500 s) and emits the final error JSON on its way out
 RETRY_DELAY_S = 60.0
 PROBE_TIMEOUT_S = 150.0  # jax import ~8 s + backend init + one tiny op
-JAX_LEG_TIMEOUT_S = 1600  # one full XLA+Pallas leg incl. remote compiles
+JAX_LEG_TIMEOUT_S = 1200  # one full XLA+Pallas leg incl. remote compiles
 # (the pallas subprocess alone may take PALLAS_TIMEOUT_TPU_S; retry-path
 # attempts are additionally capped by the remaining RETRY_BUDGET_S)
 
@@ -351,13 +391,17 @@ def _probe_backend(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
 
 
 def _emit(value, vs_baseline, error=None):
-    """The single driver-parseable JSON line. On failure the numeric fields
-    are null and `error` carries the diagnosis — never a bare traceback."""
+    """A driver-parseable JSON line. On failure the numeric fields are null
+    and `error` carries the diagnosis — never a bare traceback. Emitted
+    immediately on the first probe failure AND as final state at exit
+    (VERDICT r04 #1b): the driver reads the output tail, so the LAST line
+    printed must always reflect the current best-known state, and a kill at
+    any point mid-retry must still leave a parseable line behind."""
     rec = {"metric": METRIC, "value": value, "unit": UNIT,
            "vs_baseline": vs_baseline}
     if error is not None:
         rec["error"] = error
-    print(json.dumps(rec))
+    print(json.dumps(rec), flush=True)
 
 
 def _jax_leg_subprocess(timeout_s: float) -> float | None:
@@ -428,9 +472,15 @@ def main():
             err = str(e).splitlines()[0][:300]
             print(f"bench: jax leg failed ({err}); retrying in fresh "
                   f"processes", file=sys.stderr)
+            _emit(None, None, error=f"jax leg failed, retrying: {err}")
     else:
         err = "backend probe failed or timed out"
         print(f"bench: {err}; retrying with backoff", file=sys.stderr)
+        # Emit the error line IMMEDIATELY (r04 lesson: the driver killed the
+        # process mid-retry and captured nothing). Re-emitted as final state
+        # below; a success later overwrites it as the last line.
+        _emit(None, None, error=f"{err}; retrying "
+                                f"({RETRY_BUDGET_S:.0f}s budget)")
     delay = RETRY_DELAY_S
     while t_jax is None and time.monotonic() < deadline:
         time.sleep(min(delay, max(deadline - time.monotonic(), 0)))
@@ -448,7 +498,7 @@ def main():
         return
     if fields is None:  # jax leg ran in a retry subprocess
         fields, pred = _synthetic_fields()
-    t_torch = bench_torch_cpu(fields, pred)
+    t_torch = bench_torch_cpu_cached(fields, pred)
     # "fields" processed per pipeline call: 2 tensors of N_CAL trajectories
     fields_per_call = 2 * N_CAL
     value = fields_per_call / t_jax
@@ -464,17 +514,21 @@ if __name__ == "__main__":
                                                       "--jax-leg")
 
     # Global watchdog: if the TPU tunnel hangs mid-run (it periodically
-    # does), fail loudly instead of stalling the driver forever. The parent
-    # still emits the driver-parseable JSON line on its way out.
+    # does), fail loudly instead of stalling the driver forever. Fires at
+    # WATCHDOG_S — BEFORE the driver's earliest proven kill (~1500 s,
+    # BENCH_r03 vs r04) — so the parent always emits the final
+    # driver-parseable JSON line on its way out. Exit 0: round 3 proved the
+    # driver records a clean parse from an rc=0 error line.
     def _alarm(signum, frame):
         print("bench: watchdog expired — TPU tunnel unresponsive", file=sys.stderr)
         if not _is_child:
-            _emit(None, None, error="watchdog expired: TPU tunnel hung "
-                                    "mid-run (2400s)")
+            _emit(None, None, error=f"watchdog expired: TPU tunnel hung "
+                                    f"mid-run ({WATCHDOG_S}s)")
+            sys.exit(0)
         sys.exit(1)
 
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(2400)
+    signal.alarm(WATCHDOG_S if not _is_child else 2400)
 
     if len(sys.argv) > 2 and sys.argv[1] == "--pallas-leg":
         if len(sys.argv) > 3:  # dims forwarded by the parent process
