@@ -153,6 +153,7 @@ def evaluate_uq_methods(
             key = jax.random.PRNGKey(seed * 1000 + ii)
             t1 = time.perf_counter()
             qhat = None
+            host_scores = None  # chunked AER/PRE: per-sim scores on host
 
             if uq in ("AER", "PRE") and mesh is None and batch_chunk \
                     and a.shape[0] > batch_chunk:
@@ -174,10 +175,10 @@ def evaluate_uq_methods(
                     w_mae += float(mae_p) * n_p
                     n_tot += n_p
                 mean = np.concatenate(ms)
+                host_scores = np.concatenate(scs)
                 from ..cp.inductive import calibrate as _calibrate
 
-                qhat = _calibrate(jnp.asarray(np.concatenate(scs)),
-                                  n_tot, alpha)
+                qhat = _calibrate(jnp.asarray(host_scores), n_tot, alpha)
                 mse, mae = w_mse / n_tot, w_mae / n_tot
             elif uq in ("AER", "PRE"):
                 # unchunked: the conformal quantile couples the batch.
@@ -227,7 +228,29 @@ def evaluate_uq_methods(
                 np.asarray(mean)  # force host sync on remote backends
             dt = time.perf_counter() - t1
 
-            if uq == "PRE":
+            if host_scores is not None:
+                # Chunked AER/PRE coverage HOST-side (ADVICE r04): the
+                # previous path re-ran pre.residual over the FULL
+                # concatenated mean on device — an O(full-batch) allocation
+                # in the code path whose purpose is bounding device memory.
+                q_np = np.asarray(qhat)
+                if uq == "PRE":
+                    # score = |residual|: score <= qhat is BIT-identical to
+                    # -qhat <= residual <= qhat (abs and unary negation are
+                    # exact IEEE ops), so the per-chunk scores suffice.
+                    inside = host_scores <= q_np
+                else:
+                    # AER must keep the SET form: mean +- qhat rounds, so
+                    # |mean - u| <= qhat differs at exact-boundary cells
+                    # (with small n the clipped quantile IS the max score,
+                    # putting one sim per cell exactly on the boundary).
+                    # Same elementwise f32 arithmetic as emp_cov, in numpy.
+                    u_np = np.asarray(u)
+                    inside = (u_np >= mean - q_np) & (u_np <= mean + q_np)
+                cov = float(inside.mean())
+                jcov = float(inside.reshape(inside.shape[0], -1)
+                             .all(axis=1).mean())
+            elif uq == "PRE":
                 res = pre.residual(jnp.transpose(mean, (0, 1, 4, 2, 3)))
                 cov = emp_cov((-qhat, qhat), res)
                 jcov = emp_cov_joint((-qhat, qhat), res)

@@ -116,6 +116,14 @@ def run(case: str = "Wave", config_path: str | None = None,
         # is batch x 6 fields x N^2 x stored steps). Each chunk is pulled
         # to host before the next dispatches; chunks use disjoint seeds, so
         # the pool is the same kind of fresh-iid draw either way.
+        #
+        # WARNING (ADVICE r04): `n_eval_extra_chunk` is NOT a
+        # statistics-identical memory knob like `batch_chunk` — chunk seeds
+        # are seed + 7919 + offset, so a different chunk size draws a
+        # DIFFERENT extra pool. It is therefore part of the banked protocol
+        # (scripts/uq_family_tpu.py pins it explicitly at the historical
+        # default 100); changing it invalidates cross-run comparability of
+        # the eval pool, though never the training block or weights cache.
         n_extra = int(cfg.get("n_eval_extra", 0) or 0)
         chunk = int(cfg.get("n_eval_extra_chunk", 100) or n_extra or 1)
         off = 0

@@ -31,8 +31,11 @@ def run_once(i: int) -> dict:
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              capture_output=True, text=True, timeout=2500,
                              cwd=REPO)
-        line = next((l for l in out.stdout.splitlines() if l.startswith("{")),
-                    None)
+        # LAST JSON line is authoritative: since round 5 bench.py also
+        # emits an error line immediately on a failed first probe, which a
+        # later in-window recovery supersedes
+        line = next((l for l in reversed(out.stdout.splitlines())
+                     if l.startswith("{")), None)
         rec = json.loads(line) if line else {"error": "no JSON line",
                                              "rc": out.returncode}
     except subprocess.TimeoutExpired:
@@ -53,13 +56,18 @@ def main():
         runs.append(rec)
         print(json.dumps(rec), flush=True)
         # bank incrementally: a tunnel outage mid-campaign keeps earlier runs
+        import statistics
+
         values = sorted(r["value"] for r in runs
                         if isinstance(r.get("value"), (int, float)))
         summary = {
             "n_requested": n, "n_done": len(runs),
             "n_with_value": len(values),
             "min": values[0] if values else None,
-            "median": values[len(values) // 2] if values else None,
+            # standard midpoint median (ADVICE r04: values[n//2] is the
+            # upper median for even-length campaigns, and the BASELINE.md
+            # headline policy quotes this field)
+            "median": float(statistics.median(values)) if values else None,
             "max": values[-1] if values else None,
             "spread_pct": (round(100 * (values[-1] - values[0]) / values[-1], 1)
                            if len(values) > 1 else None),

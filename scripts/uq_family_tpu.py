@@ -107,8 +107,13 @@ def main(case: str = "Navier-Stokes", dist: str = "in", scale: str = ""):
             raise SystemExit("scale=full is defined for the in-dist protocol")
         pool = overrides["n_total"] - overrides.get("n_train_eval",
                                                     overrides["n_total"] // 2)
+        # n_eval_extra_chunk is pinned EXPLICITLY because it is
+        # data-affecting (chunk seeds depend on the chunk offsets,
+        # cppre/uq/run_eval.py; ADVICE r04): 100 is the historical default
+        # every banked full-protocol pool was generated with.
         overrides.update(runs=10, n_eval=300,
-                         n_eval_extra=max(0, 450 - pool))
+                         n_eval_extra=max(0, 450 - pool),
+                         n_eval_extra_chunk=100)
         # CP-first method order: methods are statistically independent
         # (same fixed split, per-method training), so order only decides
         # what a budget-killed run has banked — put the paper's headline
@@ -151,6 +156,11 @@ def main(case: str = "Navier-Stokes", dist: str = "in", scale: str = ""):
     _NONPROTO = ("batch_chunk", "train_cache_dir", "UQ")
     _cmp_prev = {k: v for k, v in prev_proto.items() if k not in _NONPROTO}
     _cmp_now = {k: v for k, v in overrides.items() if k not in _NONPROTO}
+    # n_eval_extra_chunk became an explicit protocol field in round 5 (it
+    # was always data-affecting); partial entries banked before then ran at
+    # the implicit default 100, so treat its absence as 100 for resume.
+    if "n_eval_extra" in _cmp_prev and "n_eval_extra_chunk" in _cmp_now:
+        _cmp_prev.setdefault("n_eval_extra_chunk", 100)
     if _cmp_prev.pop("_partial", False) and _cmp_prev == _cmp_now:
         done = {k: v for k, v in prev.items()
                 if not k.startswith("_") and isinstance(v, dict) and "l2" in v}

@@ -46,12 +46,23 @@ def _run(cache_dir):
 def test_cache_populates_then_hits_across_processes(tmp_path):
     cache_dir = tmp_path / "jc"
     err1 = _run(cache_dir)
-    entries = list(cache_dir.iterdir())
+    entries = {p.name: p.stat().st_mtime for p in cache_dir.iterdir()}
     assert entries, "first process wrote no cache entries"
-    assert "cache miss" in err1.lower() or "MISS" in err1
-    # fresh process, identical call pattern -> persistent cache HIT
+    # fresh process, identical call pattern -> persistent cache HIT.
+    # Primary assert is OBSERVABLE BEHAVIOUR (ADVICE r04): the second
+    # process reuses the dir without adding or rewriting entries — a miss
+    # would write a new key (key determinism) or rewrite the existing one.
     err2 = _run(cache_dir)
-    assert "compilation cache hit" in err2.lower(), err2[-800:]
+    entries2 = {p.name: p.stat().st_mtime for p in cache_dir.iterdir()}
+    assert entries2 == entries, (
+        f"second process changed the cache dir (miss?): "
+        f"{set(entries2) ^ set(entries) or 'mtime changed'}")
+    # Secondary HEURISTIC only: jax._src.compiler's debug log wording is
+    # not a stable API — surface a notice instead of failing on a JAX
+    # upgrade that renames the phrase while caching still works.
+    if "compilation cache hit" not in err2.lower():
+        print("note: 'compilation cache hit' log phrase absent — JAX log "
+              "wording changed? behavioural check above still passed")
 
 
 def test_bench_children_enable_cache():
