@@ -1,6 +1,13 @@
 """UQ-method comparison for one family on TPU (VERDICT r2 item 6).
 
-Usage: timeout 14000 python scripts/uq_family_tpu.py [Navier-Stokes|MHD|Wave] [in|out]
+Usage: timeout 14000 python scripts/uq_family_tpu.py \
+           [Navier-Stokes|MHD|Wave] [in|out] [full|refbudget]
+
+Scales: (none) = the 10x150 raised protocol (5x50 for OOD);
+`full` = reference-exact 10x300 eval resampling (with `out`: OOD at the
+same 10x300 — eval-only via the weights cache); `refbudget` = the TRUE
+reference training budget (500 epochs / 500 train sims / 500-sim pool,
+`Other_UQ/Experiments/Wave_FNO.py:102-103`).
 
 Runs the Other_UQ evaluation protocol (`Other_UQ/Evaluation/Eval.py`) for
 all 8 methods and merges the result into `results_uq.json`, keyed per
@@ -91,7 +98,37 @@ def main(case: str = "Navier-Stokes", dist: str = "in", scale: str = ""):
         # bank it under the "(OOD)" key — hours of chip time mislabeled
         raise SystemExit(f"dist must be 'in' or 'out', got {dist!r}")
     overrides = dict(OVERRIDES, **FAMILY_OVERRIDES.get(case, {}))
-    if scale == "full":
+    if scale == "refbudget":
+        # TRUE reference training budget (VERDICT r04 #3): 500 epochs on
+        # 500 train sims, evaluated 10 x 300 resampled from a 500-sim test
+        # pool — the exact numbers of `Other_UQ/Experiments/Wave_FNO.py:
+        # 102-103` (ntrain=500, ntest=500), `Configs/Wave_FNO.yaml:6`
+        # (Epochs: 500, Batch Size: 50) and `Evaluation/Eval.py:68-69,
+        # 121-122, 225-237` (10 resamples x ntest=300, samples=5 MC draws,
+        # 5 ensemble members). Training rides bf16 activations (the
+        # A/B-validated fast path; eval rollouts stay HIGHEST f32).
+        if dist != "in":
+            raise SystemExit("scale=refbudget is defined for in-dist")
+        overrides.update({
+            "Epochs": 500, "n_total": 1000, "n_train_eval": 500,
+            "Batch Size": 50, "runs": 10, "n_eval": 300, "samples": 5,
+            "n_ensemble": 5, "Train Precision": "bf16",
+        })
+        overrides.pop("n_eval_extra", None)  # pool is already 500
+        # cheapest-training-first: Deterministic/AER/PRE share one base
+        # training; Ensemble's five 500-epoch members go last so a
+        # budget-killed run banks the headline CP rows and the SWAG/MLE
+        # rankings (the ones unstable at 60 epochs) first
+        overrides["UQ"] = ["Deterministic", "AER", "PRE", "MLE", "Dropout",
+                          "SWAG", "Bayesian", "Ensemble"]
+    elif scale == "full" and dist == "out":
+        # OOD at protocol scale (VERDICT r04 #4): the reference runs the
+        # SAME 10 x 300 protocol with `Dist: out`
+        # (`Other_UQ/Evaluation/data_loaders.py:15-92`); training stays
+        # in-dist at the 10x150 family config, so the fingerprint-keyed
+        # weights cache makes this eval-only.
+        overrides.update(Dist="out", runs=10, n_eval=300, n_eval_pool=450)
+    elif scale == "full":
         # reference-scale protocol: 10 bootstrap resamples x 300 eval sims
         # drawn WITHOUT replacement from a strictly larger pool, as the
         # reference does (`Other_UQ/Evaluation/Eval.py:121-122` draws 300
@@ -122,21 +159,25 @@ def main(case: str = "Navier-Stokes", dist: str = "in", scale: str = ""):
         overrides["UQ"] = ["Deterministic", "AER", "PRE", "MLE", "Dropout",
                            "Ensemble", "SWAG", "Bayesian"]
     elif scale:
-        raise SystemExit(f"unknown scale {scale!r} (only 'full')")
-    if dist == "out":
+        raise SystemExit(f"unknown scale {scale!r} "
+                         f"(only 'full' or 'refbudget')")
+    if dist == "out" and scale != "full":
         # OOD protocol (reference `Other_UQ/Evaluation/data_loaders.py`:
         # half wave speed / 10x viscosity / disjoint MHD design box).
         # Training stays IN-dist at the SAME config as the in-dist run
         # (run_eval loads in-dist for training regardless of Dist), so the
         # fingerprint-keyed train cache reuses the in-dist weights and the
-        # stage is nearly train-free; the eval protocol keeps the base
+        # stage is nearly train-free; the base eval protocol keeps the
         # 5x50 — the point is the coverage signature under shift
+        # (scale='full' raises it to the reference 10x300, handled above)
         overrides.update(Dist="out", runs=5, n_eval=50, n_eval_pool=60)
     key = case if dist == "in" else f"{case} (OOD)"
     if scale == "full":
         # separate key: a mid-run kill must not degrade the completed
         # 10x150 family entry — the full-scale table accretes beside it
-        key = f"{case} (full)"
+        key = f"{case} (OOD full)" if dist == "out" else f"{case} (full)"
+    elif scale == "refbudget":
+        key = f"{case} (ref-budget)"
     t0 = time.perf_counter()
 
     # Per-method resume: a prior run of the SAME protocol that was killed
