@@ -28,6 +28,7 @@ from .stencil_kernels import (
     mhd_residual_fused,
     ns_joint_cp_scores_fused,
     ns_momentum_residual_fused,
+    single_pass_fits,
     wave_joint_cp_scores_fused,
     wave_residual_fused,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "mhd_residual_fused",
     "ns_joint_cp_scores_fused",
     "ns_momentum_residual_fused",
+    "single_pass_fits",
     "wave_joint_cp_scores_fused",
     "wave_residual_fused",
 ]

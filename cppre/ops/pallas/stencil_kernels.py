@@ -607,6 +607,141 @@ def _scores_from_diff_stats(diff, s, sq, n: int, eps: float):
                    axis=tuple(range(1, diff.ndim)))
 
 
+def single_pass_vmem_bytes(shape, out_shape=None) -> int:
+    """VMEM footprint estimate of `_joint_cp_scores_single_pass` at
+    [BS, nvar, nt, nx, ny]: the full diff stash (the whole point — it never
+    touches HBM) + double-buffered input blocks + moment/modulation scratch
+    + body-temporary margin (~10 live out-shaped vectors, same basis as
+    `_vmem_params`)."""
+    bs, nvar, nt, nx, ny = shape
+    if out_shape is None:
+        out_shape = (nt - 2, nx - 2, ny - 2)
+    block = nvar * nt * _vmem_pad(nx, 8) * _vmem_pad(ny, 128) * 4
+    out_b = (out_shape[0] * _vmem_pad(out_shape[1], 8)
+             * _vmem_pad(out_shape[2], 128) * 4)
+    return bs * out_b + 4 * block + 3 * out_b + 10 * out_b + (4 << 20)
+
+
+def single_pass_fits(shape, out_shape=None) -> bool:
+    """Whether the VMEM-resident single-pass scores kernel fits this shape.
+
+    Flagship arithmetic (VERDICT r04 #7): MHD [100, 6, 21, 64, 64] needs
+    ~91 MiB (stash 62.3) — fits the ~126 MiB scoped-VMEM grant. NS
+    [100, 3, 21, 100, 100] needs ~132 MiB (the (19, 98, 98) interior pads
+    to 19x104x128 tiles = 1.01 MiB/sample, stash 101 MiB) — does NOT fit,
+    which is WHY the NS flagship keeps the staged-diff two-pass: the
+    modulation -> score dependency forces a second look at every diff, and
+    at that shape the only place the diff can wait is HBM. Wave's bs=200
+    stash (124.6 MiB) misses for the same reason. An 8 MiB safety margin
+    keeps knife-edge shapes (NS estimates 125.8 of the 126 MiB grant —
+    body temporaries have run up to 1.64x the block model, _vmem_params)
+    off a route where a Mosaic OOM raises instead of falling back."""
+    return (single_pass_vmem_bytes(shape, out_shape)
+            <= _VMEM_HW_LIMIT - (8 << 20))
+
+
+def _joint_cp_scores_single_pass(truth, prediction, math_fn, eps: float,
+                                 out_shape=None, interpret: bool | None = None):
+    """Joint-CP nonconformity scores with NO staged-diff HBM round-trip.
+
+    The two-pass pipeline (`_joint_cp_diff_stats` + `_scores_from_diff_
+    stats`) writes the diff tensor to HBM and re-reads it for the score
+    pass because the modulation (a cross-batch std) is only known after
+    every sample's residual — 2 x 29.5 MB of the MHD flagship's 471 MB
+    traffic. Here the diff never leaves the chip: a 2-phase sequential
+    grid ((phase, sample)) stashes each sample's diff in persistent VMEM
+    scratch while accumulating the moments (phase 0), then computes the
+    modulation once and scores every stashed sample from VMEM (phase 1).
+    HBM traffic drops to the 2-tensor input read — the roofline floor for
+    this computation.
+
+    Phase 1 maps the input specs to block 0 (consecutive identical index
+    -> fetched once), so the second phase costs one block of re-read, not
+    a tensor. Only shapes passing `single_pass_fits` may route here; the
+    caller keeps the two-pass for the rest (see the fit arithmetic there
+    for why NS/Wave flagships cannot stash).
+
+    Returns scores [BS] == ncf_metric_joint(res_t, res_p, std(diff)+eps).
+    """
+    bs, nvar, nt, nx, ny = truth.shape
+    if out_shape is None:
+        out_shape = (nt - 2, nx - 2, ny - 2)
+
+    def _xla_path():
+        f = jax.vmap(math_fn)
+        diff = f(truth) - f(prediction)
+        return _scores_from_diff_stats(diff, jnp.sum(diff, axis=0),
+                                       jnp.sum(diff**2, axis=0), bs, eps)
+
+    if interpret is None:
+        if not _on_tpu() or not single_pass_fits(truth.shape, out_shape):
+            return _xla_path()
+        interpret = False
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel_fn(t_ref, p_ref, scores_ref, stash_ref, s_ref, q_ref, mod_ref):
+        ph = pl.program_id(0)
+        b = pl.program_id(1)
+
+        @pl.when(ph == 0)
+        def _():
+            d = math_fn(t_ref[0]) - math_fn(p_ref[0])
+            stash_ref[b] = d
+
+            @pl.when(b == 0)
+            def _():
+                s_ref[...] = d
+                q_ref[...] = d * d
+
+            @pl.when(b > 0)
+            def _():
+                s_ref[...] += d
+                q_ref[...] += d * d
+
+            # keep every visited output block defined (overwritten by the
+            # phase-1 visit, which flushes last)
+            scores_ref[...] = jnp.zeros((1, 1, 1), truth.dtype)
+
+        @pl.when(jnp.logical_and(ph == 1, b == 0))
+        def _():
+            mean = s_ref[...] / bs
+            mod_ref[...] = jnp.sqrt(
+                jnp.maximum(q_ref[...] / bs - mean * mean, 0.0)) + eps
+
+        @pl.when(ph == 1)
+        def _():
+            r = jnp.abs(stash_ref[b]) / mod_ref[...]
+            # sequential single-axis keepdims reduces: multi-axis reduces
+            # break Mosaic's layout inference (BASELINE.md, round 3)
+            for ax in range(len(out_shape)):
+                r = jnp.max(r, axis=ax, keepdims=True)
+            scores_ref[...] = r
+
+    block_in = pl.BlockSpec((1, nvar, nt, nx, ny),
+                            lambda ph, b: (b * (1 - ph), 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scores = pl.pallas_call(
+        kernel_fn,
+        out_shape=jax.ShapeDtypeStruct((bs, 1, 1), truth.dtype),
+        grid=(2, bs),
+        in_specs=[block_in, block_in],
+        out_specs=pl.BlockSpec((1, 1, 1), lambda ph, b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bs,) + out_shape, truth.dtype),  # diff stash
+            pltpu.VMEM(out_shape, truth.dtype),          # sum
+            pltpu.VMEM(out_shape, truth.dtype),          # sumsq
+            pltpu.VMEM(out_shape, truth.dtype),          # modulation
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=min(
+            single_pass_vmem_bytes(truth.shape, out_shape), _VMEM_HW_LIMIT)),
+        interpret=interpret,
+    )(truth, prediction)
+    return scores[:, 0, 0]
+
+
 def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
                            nu: float = 0.001, interpret: bool | None = None,
                            samples_per_block: int = 1, diff_dtype=None):
@@ -631,12 +766,22 @@ def ns_joint_cp_diff_stats(truth, prediction, dt: float, dx: float, dy: float,
 def ns_joint_cp_scores_fused(truth, prediction, dt: float, dx: float,
                              dy: float, nu: float = 0.001, eps: float = 1e-6,
                              interpret: bool | None = None,
-                             samples_per_block: int = 1, diff_dtype=None):
+                             samples_per_block: int = 1, diff_dtype=None,
+                             single_pass: bool = False):
     """Full joint-CP nonconformity scores in two fused passes:
     per-sample sup-norm of |diff| / (std(diff, axis=0) + eps).
     Matches modulation_func + ncf_metric_joint over the NS momentum PRE.
     `diff_dtype=jnp.bfloat16` halves the staged-diff traffic (see
-    `_joint_cp_diff_stats`)."""
+    `_joint_cp_diff_stats`). `single_pass=True` opts into the VMEM-stash
+    kernel where it fits (NOT at the NS flagship shape — see
+    `single_pass_fits` for the arithmetic); unfitting shapes fall through
+    to the two-pass."""
+    nt, nx, ny = truth.shape[2:]
+    if single_pass and (interpret or single_pass_fits(truth.shape)):
+        math_fn = lambda f: _ns_momentum_math(f[0], f[1], f[2], nt, nx, ny,
+                                              dt, dx, dy, nu)
+        return _joint_cp_scores_single_pass(truth, prediction, math_fn, eps,
+                                            interpret=interpret)
     diff, s, sq = ns_joint_cp_diff_stats(truth, prediction, dt, dx, dy, nu,
                                          interpret=interpret,
                                          samples_per_block=samples_per_block,
@@ -647,12 +792,19 @@ def ns_joint_cp_scores_fused(truth, prediction, dt: float, dx: float,
 def mhd_induction_joint_cp_scores_fused(truth, prediction, eps: float = 1e-6,
                                         interpret: bool | None = None,
                                         samples_per_block: int = 1,
-                                        diff_dtype=None):
+                                        diff_dtype=None,
+                                        single_pass: bool = False):
     """Joint-CP nonconformity scores over the MHD induction PRE, one fused
     read of each 6-field tensor (reference flow `Joint/MHD_Residuals_CP.py:
-    349-352`: modulation_func(+1e-6 guard) + ncf_metric_joint)."""
+    349-352`: modulation_func(+1e-6 guard) + ncf_metric_joint).
+    `single_pass=True` opts into the VMEM-stash kernel (fits the MHD
+    flagship: ~91 MiB incl. the 62 MiB diff stash) — removes the staged
+    diff's 2 x 29.5 MB write+re-read from the pipeline's HBM traffic."""
     _, _, nt, nx, ny = truth.shape
     math_fn = lambda f: _mhd_induction_math(f, nt, nx, ny)
+    if single_pass and (interpret or single_pass_fits(truth.shape)):
+        return _joint_cp_scores_single_pass(truth, prediction, math_fn, eps,
+                                            interpret=interpret)
     chunked = lambda: mhd_joint_cp_diff_stats_chunked(truth, prediction,
                                                       "induction")
     diff, s, sq = _joint_cp_diff_stats(truth, prediction, math_fn, interpret,

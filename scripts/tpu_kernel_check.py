@@ -101,6 +101,25 @@ def _mhd():
     _close(mhd_induction_joint_cp_scores_fused(t, p), ref, 1e-3, "mhd")
 
 
+@check("mhd_single_pass_scores")
+def _mhd_single_pass():
+    """Mosaic lowering of the VMEM-stash single-pass kernel: 2-phase
+    sequential grid, dynamic scratch indexing, persistent moment scratch
+    (round-5; interpret-mode parity in tests/test_pallas_kernels.py)."""
+    from cppre.cp.inductive import modulation_func, ncf_metric_joint
+    from cppre.ops.pallas import mhd_induction_joint_cp_scores_fused
+    from cppre.residuals.mhd import PRE_MHD
+
+    rng = np.random.default_rng(2)
+    t = jnp.asarray(rng.standard_normal((4, 6, 7, 16, 16)), jnp.float32)
+    p = t + 0.05
+    pre = PRE_MHD(0.01, 0.02, 0.02)
+    ro, rp = pre.residual_induction(t), pre.residual_induction(p)
+    ref = ncf_metric_joint(ro, rp, modulation_func(ro, rp) + 1e-6)
+    _close(mhd_induction_joint_cp_scores_fused(t, p, single_pass=True),
+           ref, 1e-3, "mhd single-pass")
+
+
 @check("jorek_scores")
 def _jorek():
     from cppre.cp.inductive import modulation_func, ncf_metric_joint
@@ -177,8 +196,8 @@ def _chunked():
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    for fn in [_stencil, _ns, _ns_bf16, _mhd, _jorek, _fno_fwd, _fno_fwd_pad,
-               _fno_grad, _chunked]:
+    for fn in [_stencil, _ns, _ns_bf16, _mhd, _mhd_single_pass, _jorek,
+               _fno_fwd, _fno_fwd_pad, _fno_grad, _chunked]:
         fn()
     bad = {k: v for k, v in RESULTS.items() if v != "ok"}
     print(f"kernel check: {len(RESULTS) - len(bad)}/{len(RESULTS)} ok",

@@ -381,6 +381,69 @@ def test_flat_wave_scores_wide_kernel_routes_to_fused():
                                rtol=2e-3)
 
 
+@pytest.mark.parametrize("interpret", [None, True])
+def test_single_pass_scores_match_reference_path(interpret):
+    """VMEM-stash single-pass scores (no staged-diff HBM round-trip) must
+    match the modulation_func + ncf_metric_joint composition exactly like
+    the two-pass kernel does — for NS momentum and MHD induction math."""
+    from cppre.cp.inductive import modulation_func, ncf_metric_joint
+    from cppre.ops.pallas.stencil_kernels import (
+        mhd_induction_joint_cp_scores_fused, ns_joint_cp_scores_fused)
+    from cppre.residuals.mhd import PRE_MHD
+
+    rng = np.random.default_rng(11)
+    truth = jnp.asarray(rng.standard_normal((6, 3, 8, 16, 24)), jnp.float32)
+    pred = truth + 0.1 * jnp.asarray(rng.standard_normal(truth.shape),
+                                     jnp.float32)
+    dt, dx, dy, nu = 0.01, 0.02, 0.02, 1e-3
+    pre = PRE_NS(dt, dx, dy, nu=nu)
+    ro, rp = pre.residual_momentum(truth), pre.residual_momentum(pred)
+    mod = modulation_func(ro, rp) + 1e-6
+    expected = ncf_metric_joint(ro, rp, mod)
+    got = ns_joint_cp_scores_fused(truth, pred, dt, dx, dy, nu,
+                                   interpret=interpret, single_pass=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-3)
+
+    t6 = jnp.asarray(rng.standard_normal((5, 6, 8, 16, 24)), jnp.float32)
+    p6 = t6 + 0.1 * jnp.asarray(rng.standard_normal(t6.shape), jnp.float32)
+    pre_m = PRE_MHD(1.0, 1.0, 1.0)
+    ro6, rp6 = pre_m.residual_induction(t6), pre_m.residual_induction(p6)
+    mod6 = modulation_func(ro6, rp6) + 1e-6
+    exp6 = ncf_metric_joint(ro6, rp6, mod6)
+    got6 = mhd_induction_joint_cp_scores_fused(t6, p6, interpret=interpret,
+                                               single_pass=True)
+    np.testing.assert_allclose(np.asarray(got6), np.asarray(exp6), rtol=2e-3)
+
+
+def test_single_pass_matches_two_pass_exactly():
+    """In interpret mode the single-pass and two-pass kernels share the
+    residual math and f32 moment arithmetic — scores must agree to float
+    tolerance, pinning that the stash path introduces no extra rounding."""
+    from cppre.ops.pallas.stencil_kernels import ns_joint_cp_scores_fused
+
+    rng = np.random.default_rng(12)
+    truth = jnp.asarray(rng.standard_normal((4, 3, 8, 16, 24)), jnp.float32)
+    pred = truth + 0.1 * jnp.asarray(rng.standard_normal(truth.shape),
+                                     jnp.float32)
+    two = ns_joint_cp_scores_fused(truth, pred, 0.01, 0.02, 0.02, 1e-3,
+                                   interpret=True)
+    one = ns_joint_cp_scores_fused(truth, pred, 0.01, 0.02, 0.02, 1e-3,
+                                   interpret=True, single_pass=True)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(two), rtol=1e-6)
+
+
+def test_single_pass_fit_arithmetic():
+    """The documented flagship fit matrix (VERDICT r04 #7): MHD fits the
+    VMEM stash; NS and Wave do not (tile padding puts the NS stash at
+    ~101 MiB and Wave's bs=200 at ~125 MiB before blocks/temporaries)."""
+    from cppre.ops.pallas.stencil_kernels import single_pass_fits
+
+    assert single_pass_fits((100, 6, 21, 64, 64))        # MHD flagship
+    assert not single_pass_fits((100, 3, 21, 100, 100))  # NS flagship
+    assert not single_pass_fits((200, 1, 21, 64, 64))    # wave flagship
+
+
 def test_vmem_cap_consistent_with_granted_limit():
     """Routing invariant: any estimate admitted to the Pallas path
     (<= _VMEM_CAP) must receive a vmem_limit covering the worst observed
